@@ -144,7 +144,7 @@ def test_humanoid_drop_and_stand():
     model = asset.build_humanoid_model(body, np.zeros((2, 10)))
     # rest pelvis height: put feet just at ground
     lowest = float(asset.min_verts_height(body, np.zeros((1, 10)))[0])
-    state = ArticulationState.zeros(2, 24, root_h=-lowest + 0.05)
+    state = asset.default_humanoid_state(model, 2, root_h=-lowest + 0.05)
 
     dt = 1.0 / 240.0
     pd_tar = jnp.zeros((2, 69))

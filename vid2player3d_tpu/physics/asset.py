@@ -37,18 +37,20 @@ GAINS = {
 HUMAN_DENSITY = 1000.0  # kg/m^3
 DEFAULT_HUMANOID_MASS = 90.0  # reference normalization (`humanoid_smpl_im.py:379`)
 
-# SMPL canonical frame is y-up / z-forward-ish; simulation frame is z-up.
-# The reference bakes this into the MJCF so the sim-frame rest pose faces +x with
-# z up (`remove_base_rot` base quat [0.5,0.5,0.5,0.5], `humanoid_smpl_im.py:766`).
-# Rotation: sim = R_su @ smpl with R_su = rot([0.5,0.5,0.5,0.5]) i.e.
-# x_sim = z_smpl, y_sim = x_smpl, z_sim = y_smpl.
-_R_SMPL_TO_SIM = np.array([[0.0, 0.0, 1.0],
-                           [1.0, 0.0, 0.0],
-                           [0.0, 1.0, 0.0]], dtype=np.float32)
+# Frame convention (matches the reference MJCF assets): body frames ARE the SMPL
+# canonical frames (y-up within a frame); the standing humanoid's world root
+# orientation is the fixed base rotation quat [0.5, 0.5, 0.5, 0.5] (xyzw), whose
+# matrix maps body y → world z (`remove_base_rot`, `humanoid_smpl_im.py:766-770`).
+# R maps body(SMPL) coords → world coords at rest: x_w = z_b, y_w = x_b, z_w = y_b.
+BASE_ROT_XYZW = np.array([0.5, 0.5, 0.5, 0.5], dtype=np.float32)
+_R_BASE = np.array([[0.0, 0.0, 1.0],
+                    [1.0, 0.0, 0.0],
+                    [0.0, 1.0, 0.0]], dtype=np.float32)
 
 
-def smpl_to_sim_vec(v: np.ndarray) -> np.ndarray:
-    return v @ _R_SMPL_TO_SIM.T
+def smpl_to_world_rest(v: np.ndarray) -> np.ndarray:
+    """Rotate SMPL-frame vectors to world frame at the rest (standing) pose."""
+    return v @ _R_BASE.T
 
 
 def build_humanoid_model(
@@ -70,13 +72,9 @@ def build_humanoid_model(
         scale = np.ones(N, dtype=np.float32)
     scale = np.asarray(scale, dtype=np.float32)
 
-    # rest joints and shaped vertices in SMPL frame (host numpy)
-    verts = np.asarray(S.shaped_vertices(smpl_model, jnp.asarray(betas)))  # (N,V,3)
-    joints_smpl = np.asarray(S.rest_joints(smpl_model, jnp.asarray(betas)))  # (N,24,3)
-
-    # to sim frame (z-up), scaled
-    verts = smpl_to_sim_vec(verts) * scale[:, None, None]
-    joints = smpl_to_sim_vec(joints_smpl) * scale[:, None, None]
+    # rest joints and shaped vertices, kept in SMPL/body coords (y-up in frame)
+    verts = np.asarray(S.shaped_vertices(smpl_model, jnp.asarray(betas))) * scale[:, None, None]
+    joints = np.asarray(S.rest_joints(smpl_model, jnp.asarray(betas))) * scale[:, None, None]
 
     # reorder to mujoco body order
     m2s = S.SMPL_2_MUJOCO  # mujoco idx -> smpl idx
@@ -144,11 +142,12 @@ def build_humanoid_model(
         j = names.index(foot)
         toe_j = names.index(foot.split("_")[0] + "_Toe")
         toe_dir = joint_pos[:, toe_j]  # ankle-frame direction to toe
-        # heel: opposite the toe; ball: 70% toward toe; both near the sole
-        sole_z = geom_center[:, j, 2] - geom_radius[:, j] * 0.5
+        # heel: opposite the toe; ball: 70% toward toe; both near the sole.
+        # body frames are SMPL-oriented: "down" at rest is -y in the body frame.
+        sole_y = geom_center[:, j, 1] - geom_radius[:, j] * 0.5
         for frac in (-0.35, 0.7):
             off = geom_center[:, j] + frac * toe_dir
-            off[:, 2] = sole_z
+            off[:, 1] = sole_y
             contact_body.append(j)
             contact_offset.append(off.astype(np.float32))
             contact_radius.append(np.full(N, 0.02, dtype=np.float32))
@@ -209,4 +208,17 @@ def min_verts_height(smpl_model: S.SMPLModel, betas: np.ndarray,
     else:
         verts, _ = S.lbs(smpl_model, jnp.asarray(betas), jnp.asarray(pose_aa))
         verts = np.asarray(verts)
-    return smpl_to_sim_vec(verts)[..., 2].min(axis=-1)
+    return smpl_to_world_rest(verts)[..., 2].min(axis=-1)
+
+
+def default_humanoid_state(model: ArticulationModel, num_envs: int,
+                           root_h: float = 0.89):
+    """Standing rest state: identity joints, root at base rotation (the SMPL
+    body-frame → world-frame rest orientation), matching the reference's
+    start pose (`humanoid_smpl.py:362-365` char_h=0.89 + base-rotated frames)."""
+    import jax.numpy as jnp
+    from .model import ArticulationState
+
+    st = ArticulationState.zeros(num_envs, model.num_bodies, root_h=root_h)
+    base = jnp.tile(jnp.asarray(BASE_ROT_XYZW), (num_envs, 1))
+    return ArticulationState(st.root_pos, base, st.root_vel, st.joint_quat, st.joint_omega)
