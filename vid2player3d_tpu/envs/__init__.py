@@ -1,0 +1,2 @@
+from .humanoid_im import HumanoidImEnv, HumanoidImConfig, EnvState, StepOutput  # noqa: F401
+from . import obs  # noqa: F401
