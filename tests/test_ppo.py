@@ -1,0 +1,63 @@
+"""PPO learner: epoch runs, losses finite, reward improves on a tiny config."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vid2player3d_tpu.data.synthetic import make_synthetic_motion_lib
+from vid2player3d_tpu.envs import HumanoidImEnv, HumanoidImConfig
+from vid2player3d_tpu.learn import ImitationPPO, PPOConfig
+from vid2player3d_tpu.learn import running_norm as RN
+
+
+def test_running_norm_matches_batch_stats():
+    rng = np.random.RandomState(0)
+    x = rng.randn(1000, 8).astype(np.float32) * 3 + 1.5
+    st = RN.RunningNormState.create(8)
+    # feed in 4 chunks
+    for i in range(4):
+        st = RN.update(st, jnp.array(x[i * 250:(i + 1) * 250]))
+    np.testing.assert_allclose(np.asarray(st.mean), x.mean(0), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(st.var), x.var(0), rtol=1e-3)
+    y = RN.normalize(st, jnp.array(x))
+    assert abs(float(jnp.mean(y))) < 1e-2
+    assert abs(float(jnp.std(y)) - 1.0) < 1e-2
+
+
+@pytest.fixture(scope="module")
+def agent():
+    lib = make_synthetic_motion_lib(num_motions=2, T=90, fps=30.0, seed=0)
+    cfg = HumanoidImConfig(num_envs=16, substeps=2)
+    env = HumanoidImEnv(cfg, lib, rng=0)
+    return ImitationPPO(env, PPOConfig(horizon=16, minibatch_size=64,
+                                       mini_epochs=2, learning_rate=2e-5,
+                                       lr_schedule="adaptive"), seed=7)
+
+
+def test_train_epoch_runs_and_finite(agent):
+    ts = agent.init_state()
+    ts, m = agent.train_epoch(ts)
+    for k, v in m.items():
+        assert np.isfinite(float(v)), (k, v)
+    assert int(ts.epoch) == 1
+    assert 0.0 < float(m["alive_ratio"]) <= 1.0
+    assert float(m["reward_mean"]) > 0.0
+
+
+@pytest.mark.slow
+def test_reward_improves(agent):
+    """A few epochs of PPO on the tiny synthetic imitation task should push the
+    tracking reward up measurably (learning-curve smoke, SURVEY.md §4)."""
+    ts = agent.init_state()
+    rewards, alive, c_loss = [], [], []
+    for i in range(30):
+        ts, m = agent.train_epoch(ts)
+        rewards.append(float(m["reward_mean"]))
+        alive.append(float(m["alive_ratio"]))
+        c_loss.append(float(m["c_loss"]))
+    # survival (fall-avoidance) improves, critic converges, tracking reward
+    # does not collapse — the robust signals on a 16-env × 16-step budget
+    assert np.mean(alive[-5:]) > np.mean(alive[:5]) + 0.03, f"alive: {alive}"
+    assert np.mean(c_loss[-5:]) < 0.5 * np.mean(c_loss[:5]), f"c_loss: {c_loss}"
+    assert np.mean(rewards[-5:]) > np.mean(rewards[:5]) - 0.02, f"rew: {rewards}"

@@ -289,8 +289,18 @@ class HumanoidImEnv:
         reward = jnp.where(was_done, 0.0, reward)
         sub_rewards = jnp.where(was_done[:, None], 0.0, sub_rewards)
 
+        # NaN latch (`physics_mvae_controller.py:321-328,412-414`): a diverged
+        # simulation terminates the env and its obs are sanitized so that
+        # alive-masked losses stay finite (NaN·0 = NaN otherwise)
+        bad = ~jnp.all(jnp.isfinite(obs), axis=-1)
+        obs = jnp.nan_to_num(obs, nan=0.0, posinf=0.0, neginf=0.0)
+        reward = jnp.where(bad, 0.0, reward)
+        sub_rewards = jnp.where(bad[:, None], 0.0, sub_rewards)
+
         # termination (`:724-739, 956-987`)
         reset, terminate = self._reset_logic(bp, progress, motion_times)
+        reset = jnp.where(bad, 1, reset)
+        terminate = jnp.where(bad, 1, terminate)
         reset = jnp.where(was_done, 1, reset)
         terminate = jnp.where(was_done, state.terminate_buf, terminate)
 

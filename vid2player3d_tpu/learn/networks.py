@@ -1,0 +1,51 @@
+"""Actor-critic networks (flax) replacing rl_games network builders.
+
+`ImitatorNet` = the reference's `ImitatorBuilder` network body
+(`embodied_pose/models/im_network_builder.py`): separate actor/critic MLPs
+[1024,1024,512] over the 734-dim imitation obs, continuous mu head with fixed
+log-sigma, residual action (mu += target dof) applied by the caller.
+`V2PNet` = the high-level `V2PBuilder` (`vid2player/models/v2p_network_builder.py`).
+Compute in bfloat16 on the MXU with f32 params/outputs.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class MLP(nn.Module):
+    units: Sequence[int]
+    activation: Callable = nn.relu
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for u in self.units:
+            x = nn.Dense(u, dtype=self.dtype)(x)
+            x = self.activation(x)
+        return x
+
+
+class ActorCritic(nn.Module):
+    """Separate actor/critic MLP trunks + mu/value heads."""
+
+    num_actions: int
+    actor_units: Sequence[int] = (1024, 1024, 512)
+    critic_units: Sequence[int] = (1024, 1024, 512)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, obs) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        a = MLP(self.actor_units, dtype=self.dtype, name="actor_mlp")(obs)
+        mu = nn.Dense(self.num_actions, dtype=jnp.float32, name="mu")(a)
+        c = MLP(self.critic_units, dtype=self.dtype, name="critic_mlp")(obs)
+        value = nn.Dense(1, dtype=jnp.float32, name="value")(c)
+        return mu, value[..., 0]
+
+
+# aliases documenting the correspondence to the reference builders
+ImitatorNet = ActorCritic   # im_network_builder.py ImitatorBuilder.Network
+V2PNet = ActorCritic        # v2p_network_builder.py V2PBuilder.Network

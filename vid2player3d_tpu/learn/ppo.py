@@ -1,0 +1,345 @@
+"""PPO actor-learner for the imitation env, fully fused under jit.
+
+Replaces rl_games `A2CAgent`/`CommonAgent`/`ImitatorAgent`
+(`embodied_pose/learning/common_agent.py`, `agents/im_agent.py`): one jitted
+`train_epoch` = reset → 32-step rollout (lax.scan over the fused env step +
+policy) → GAE → 6 mini-epochs × minibatch gradient steps (lax.scan with
+shuffled gathers). No host↔device traffic inside an epoch.
+
+Reference semantics preserved (file:line cited inline):
+- per-step next-value bootstrap `next_vals·(1−terminated)` (`im_agent.py:348-359`)
+- alive mask = envs not yet done, applied to all losses (`im_agent.py:527-535`)
+- advantage normalized over alive samples (`im_agent.py:461-473`)
+- GAE with per-step next_values (`common_agent.py:423-435`)
+- fixed log-sigma −1.756, residual action mu += target dof
+  (`amass_im.yaml`, `im_network_builder.py:226-229`)
+- running obs norm 'ours' + value normalization (`running_norm.py`,
+  `common_agent.py` normalize_value)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..envs.humanoid_im import HumanoidImEnv
+from . import running_norm as RN
+from .networks import ImitatorNet
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    horizon: int = 32
+    mini_epochs: int = 6
+    minibatch_size: int = 512
+    learning_rate: float = 2e-5
+    gamma: float = 0.99
+    tau: float = 0.95
+    e_clip: float = 0.2
+    critic_coef: float = 5.0
+    entropy_coef: float = 0.0
+    bounds_loss_coef: float = 0.0
+    grad_norm: float = 50.0
+    sigma_init: float = -1.756
+    normalize_value: bool = True
+    normalize_advantage: bool = True
+    obs_clip: float = 5.0
+    # rl_games AdaptiveScheduler: per-minibatch lr *= / 1.5 keyed on the
+    # minibatch KL vs threshold ('constant' matches every shipped reference cfg)
+    lr_schedule: str = "constant"          # constant | adaptive
+    kl_threshold: float = 0.008
+    min_lr: float = 1e-6
+    max_lr: float = 1e-2
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class TrainState:
+    params: Any
+    opt_state: Any
+    obs_norm: RN.RunningNormState
+    val_norm: RN.RunningNormState
+    key: jnp.ndarray
+    epoch: jnp.ndarray
+    lr: jnp.ndarray
+
+    def tree_flatten(self):
+        return (self.params, self.opt_state, self.obs_norm, self.val_norm,
+                self.key, self.epoch, self.lr), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        return cls(*ch)
+
+
+def diag_gaussian_neglogp(actions, mu, sigma):
+    d = actions.shape[-1]
+    return (0.5 * jnp.sum(((actions - mu) / sigma) ** 2, axis=-1)
+            + 0.5 * np.log(2 * np.pi) * d + jnp.sum(jnp.log(sigma), axis=-1))
+
+
+def policy_kl(mu0, sigma0, mu1, sigma1):
+    """Analytic KL(N0 || N1) per sample (rl_games `torch_ext.policy_kl`)."""
+    c1 = jnp.log(sigma1 / sigma0 + 1e-8)
+    c2 = (sigma0 ** 2 + (mu1 - mu0) ** 2) / (2.0 * sigma1 ** 2 + 1e-8)
+    return jnp.sum(c1 + c2 - 0.5, axis=-1)
+
+
+class ImitationPPO:
+    """Owns the env + network statics; all train state flows through pure fns."""
+
+    def __init__(self, env: HumanoidImEnv, cfg: PPOConfig = PPOConfig(),
+                 seed: int = 7):
+        self.env = env
+        self.cfg = cfg
+        self.num_actions = env.num_actions
+        self.obs_dim = 734
+
+        self.net = ImitatorNet(num_actions=self.num_actions)
+        key = jax.random.PRNGKey(seed)
+        params = self.net.init(key, jnp.zeros((1, self.obs_dim)))
+        # lr applied manually in the minibatch step so the adaptive schedule can
+        # ride through lax.scan as a carried scalar
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(cfg.grad_norm),
+            optax.scale_by_adam(eps=1e-8),
+        )
+        self._init = TrainState(
+            params=params,
+            opt_state=self.tx.init(params),
+            obs_norm=RN.RunningNormState.create(self.obs_dim),
+            val_norm=RN.RunningNormState.create(1),
+            key=key,
+            epoch=jnp.zeros((), jnp.int32),
+            lr=jnp.asarray(cfg.learning_rate, jnp.float32),
+        )
+        self.sigma = jnp.full((self.num_actions,), np.exp(cfg.sigma_init),
+                              dtype=jnp.float32)
+
+        nbatch = env.cfg.num_envs * cfg.horizon
+        assert nbatch % cfg.minibatch_size == 0, \
+            f"batch {nbatch} not divisible by minibatch {cfg.minibatch_size}"
+        self.num_minibatches = nbatch // cfg.minibatch_size
+
+    def init_state(self) -> TrainState:
+        # fresh buffers every call: train_epoch donates its input state, so the
+        # cached template must never be handed out by reference
+        return jax.tree_util.tree_map(jnp.copy, self._init)
+
+    # -- policy forward -------------------------------------------------------
+
+    def _ctx_frame(self, ctx_feat, t):
+        """Context frame at rollout step t (index pad + t)."""
+        idx = self.env.cfg.context_padding + t
+        f = jax.lax.dynamic_index_in_dim(ctx_feat, idx, axis=1, keepdims=False)
+        N = f.shape[0]
+        return (f[:, :72].reshape(N, 24, 3), f[:, 72:168].reshape(N, 24, 4),
+                f[:, 168:237])
+
+    def _forward(self, params, obs_norm, raw_obs, ctx_feat, t):
+        """raw env obs + context → (imitation_obs, normalized_obs, mu, value_norm,
+        target_dof). mu includes the residual action."""
+        cb_pos, cb_rot, c_dof = self._ctx_frame(ctx_feat, t)
+        io = self.env.imitation_obs(raw_obs, cb_pos, cb_rot, c_dof)
+        io_n = RN.normalize(obs_norm, io, self.cfg.obs_clip)
+        mu, value = self.net.apply(params, io_n)
+        mu = mu.at[:, :69].add(c_dof)  # residual action (`im_network_builder.py:226-229`)
+        return io, io_n, mu, value, c_dof
+
+    # -- rollout --------------------------------------------------------------
+
+    def _rollout(self, ts: TrainState, key):
+        cfg = self.cfg
+        env = self.env
+        k_reset, k_act = jax.random.split(key)
+        env_state, raw_obs, ctx = env.reset_all(k_reset)
+        ctx_feat = ctx["feat"]
+
+        def step_fn(carry, t):
+            env_state, raw_obs, key = carry
+            key, k = jax.random.split(key)
+            io, io_n, mu, v_norm, c_dof = self._forward(ts.params, ts.obs_norm,
+                                                        raw_obs, ctx_feat, t)
+            value = RN.unnormalize_value(ts.val_norm, v_norm[:, None])[:, 0] \
+                if cfg.normalize_value else v_norm
+            alive = (env_state.reset_buf == 0).astype(jnp.float32)
+
+            noise = jax.random.normal(k, mu.shape)
+            action = mu + self.sigma[None] * noise
+            neglogp = diag_gaussian_neglogp(action, mu, self.sigma[None])
+
+            env_state2, out = env.step(env_state, action)
+
+            # next value with terminate masking (`im_agent.py:348-359`)
+            _, _, _, vn_next, _ = self._forward(ts.params, ts.obs_norm, out.obs,
+                                                ctx_feat, t + 1)
+            v_next = RN.unnormalize_value(ts.val_norm, vn_next[:, None])[:, 0] \
+                if cfg.normalize_value else vn_next
+            next_value = v_next * (1.0 - out.terminate.astype(jnp.float32))
+
+            store = dict(obs=io, action=action, mu=mu, neglogp=neglogp,
+                         value=value, next_value=next_value, reward=out.reward,
+                         done=out.done.astype(jnp.float32), alive=alive,
+                         sub_rewards=out.sub_rewards, ctx_dof=c_dof)
+            return (env_state2, out.obs, key), store
+
+        (env_state, _, _), traj = jax.lax.scan(
+            step_fn, (env_state, raw_obs, k_act), jnp.arange(cfg.horizon))
+        return traj
+
+    def _gae(self, traj):
+        """`common_agent.py:423-435`: delta = r + γ·next_v − v;
+        A ← delta + γτ(1−done)·A."""
+        cfg = self.cfg
+
+        def scan_fn(lastgaelam, x):
+            reward, value, next_value, done = x
+            delta = reward + cfg.gamma * next_value - value
+            lastgaelam = delta + cfg.gamma * cfg.tau * (1.0 - done) * lastgaelam
+            return lastgaelam, lastgaelam
+
+        _, advs = jax.lax.scan(
+            scan_fn, jnp.zeros_like(traj["reward"][0]),
+            (traj["reward"], traj["value"], traj["next_value"], traj["done"]),
+            reverse=True)
+        return advs
+
+    # -- update ---------------------------------------------------------------
+
+    def _loss(self, params, batch, obs_norm, sigma):
+        cfg = self.cfg
+        io_n = RN.normalize(obs_norm, batch["obs"], cfg.obs_clip)
+        mu_raw, v_norm = self.net.apply(params, io_n)
+        mu = mu_raw.at[:, :69].add(batch["ctx_dof"])
+        neglogp = diag_gaussian_neglogp(batch["action"], mu, sigma[None])
+
+        ratio = jnp.exp(batch["old_neglogp"] - neglogp)
+        surr1 = batch["adv"] * ratio
+        surr2 = batch["adv"] * jnp.clip(ratio, 1.0 - cfg.e_clip, 1.0 + cfg.e_clip)
+        a_loss = jnp.maximum(-surr1, -surr2)
+        clipped = (jnp.abs(ratio - 1.0) > cfg.e_clip).astype(jnp.float32)
+
+        c_loss = (v_norm - batch["return_norm"]) ** 2
+
+        soft_bound = 1.0
+        b_loss = (jnp.clip(mu - soft_bound, 0.0, None) ** 2
+                  + jnp.clip(mu + soft_bound, None, 0.0) ** 2).sum(-1)
+
+        mask = batch["alive"]
+        denom = jnp.maximum(mask.sum(), 1.0)
+
+        def masked(x):
+            return (x * mask).sum() / denom
+
+        loss = (masked(a_loss) + cfg.critic_coef * masked(c_loss)
+                + cfg.bounds_loss_coef * masked(b_loss))
+        kl = masked(policy_kl(mu, sigma[None], batch["old_mu"], sigma[None]))
+        stats = dict(a_loss=masked(a_loss), c_loss=masked(c_loss),
+                     b_loss=masked(b_loss), clip_frac=masked(clipped), kl=kl)
+        return loss, stats
+
+    # -- epoch ----------------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_epoch(self, ts: TrainState) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        cfg = self.cfg
+        env = self.env
+        key, k_roll, k_shuffle = jax.random.split(ts.key, 3)
+
+        traj = self._rollout(ts, k_roll)
+        advs = self._gae(traj)
+        returns = advs + traj["value"]
+
+        T, N = cfg.horizon, env.cfg.num_envs
+        B = T * N
+
+        def flat(x):
+            return x.reshape((B,) + x.shape[2:])
+
+        obs_f = flat(traj["obs"])
+        alive_f = flat(traj["alive"])
+
+        # context dof stored during rollout so the train-time forward can re-apply
+        # the residual action without re-gathering the context window
+        ctx_dof_f = flat(traj["ctx_dof"])
+
+        # Update running obs stats once per epoch on the full batch. The update
+        # takes effect NEXT epoch: training this epoch must normalize with the
+        # same (frozen) stats the rollout used, or old_neglogp / new mu disagree
+        # and the PPO ratio is garbage from the first minibatch.
+        obs_norm_next = RN.update(ts.obs_norm, obs_f)
+        obs_norm = ts.obs_norm
+
+        # value/return normalization (`normalize_value`)
+        val_norm = RN.update(ts.val_norm, returns.reshape(-1, 1)) \
+            if cfg.normalize_value else ts.val_norm
+        returns_f = flat(returns)
+        if cfg.normalize_value:
+            ret_norm_f = RN.normalize_value(val_norm, returns_f[:, None])[:, 0]
+        else:
+            ret_norm_f = returns_f
+
+        adv_f = flat(advs)
+        if cfg.normalize_advantage:
+            denom = jnp.maximum(alive_f.sum(), 1.0)
+            mean = (adv_f * alive_f).sum() / denom
+            var = (((adv_f - mean) ** 2) * alive_f).sum() / denom
+            adv_f = (adv_f - mean) / jnp.sqrt(var + 1e-8)
+
+        batch_all = dict(
+            obs=obs_f, action=flat(traj["action"]), old_mu=flat(traj["mu"]),
+            old_neglogp=flat(traj["neglogp"]), adv=adv_f,
+            return_norm=ret_norm_f, alive=alive_f, ctx_dof=ctx_dof_f)
+
+        def mini_epoch(carry, k):
+            params, opt_state, lr = carry
+            perm = jax.random.permutation(k, B)
+
+            def mb_step(carry, i):
+                params, opt_state, lr = carry
+                idx = jax.lax.dynamic_slice_in_dim(
+                    perm, i * cfg.minibatch_size, cfg.minibatch_size)
+                mb = {k2: v[idx] for k2, v in batch_all.items()}
+                (loss, stats), grads = jax.value_and_grad(
+                    self._loss, has_aux=True)(params, mb, obs_norm, self.sigma)
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+                params = optax.apply_updates(params, updates)
+                if cfg.lr_schedule == "adaptive":
+                    kl = stats["kl"]
+                    lr = jnp.where(kl > 2.0 * cfg.kl_threshold,
+                                   jnp.maximum(lr / 1.5, cfg.min_lr),
+                                   jnp.where(kl < 0.5 * cfg.kl_threshold,
+                                             jnp.minimum(lr * 1.5, cfg.max_lr), lr))
+                return (params, opt_state, lr), stats
+
+            (params, opt_state, lr), stats = jax.lax.scan(
+                mb_step, (params, opt_state, lr), jnp.arange(self.num_minibatches))
+            return (params, opt_state, lr), stats
+
+        keys = jax.random.split(k_shuffle, cfg.mini_epochs)
+        (params, opt_state, lr), stats = jax.lax.scan(
+            mini_epoch, (ts.params, ts.opt_state, ts.lr), keys)
+
+        metrics = {k2: v.mean() for k2, v in stats.items()}
+        metrics["reward_mean"] = (traj["reward"] * traj["alive"]).sum() / \
+            jnp.maximum(traj["alive"].sum(), 1.0)
+        metrics["alive_ratio"] = traj["alive"].mean()
+        metrics["episode_return"] = traj["reward"].sum(0).mean()
+        subs = (traj["sub_rewards"] * traj["alive"][..., None]).sum((0, 1)) / \
+            jnp.maximum(traj["alive"].sum(), 1.0)
+        for i, name in enumerate(["dof_reward", "vel_reward", "body_pos_reward",
+                                  "body_rot_reward"]):
+            metrics[name] = subs[i]
+
+        metrics["lr"] = lr
+        new_ts = TrainState(params=params, opt_state=opt_state,
+                            obs_norm=obs_norm_next, val_norm=val_norm, key=key,
+                            epoch=ts.epoch + 1, lr=lr)
+        return new_ts, metrics
