@@ -1,0 +1,85 @@
+"""Headline benchmark: humanoid env-steps/s at 4096 envs, policy in the loop.
+
+Measures the fused rollout hot loop (policy forward + PD control + physics
+substeps + motion-lib target lookup + reward/termination) that dominates both
+training (`im_agent.py:305 play_steps`) and inference in the reference, which
+logs it as `performance/step_fps`. Baseline target (BASELINE.json north star):
+1M env-steps/s/chip. Prints one JSON line.
+
+Runs on whatever accelerator JAX defaults to (the real TPU chip under the
+driver; falls back to CPU if no TPU is reachable).
+"""
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax
+import jax.numpy as jnp
+
+from vid2player3d_tpu.data.synthetic import make_synthetic_motion_lib
+from vid2player3d_tpu.envs import HumanoidImConfig, HumanoidImEnv
+from vid2player3d_tpu.learn import ImitationPPO, PPOConfig
+
+NUM_ENVS = 4096
+HORIZON = 32
+SUBSTEPS = 2          # matches reference amass_im: 2 sim substeps per 30 Hz control step
+BASELINE_STEPS_PER_S = 1.0e6
+
+
+def main():
+    lib = make_synthetic_motion_lib(num_motions=8, T=300, fps=30.0, seed=0)
+    env = HumanoidImEnv(HumanoidImConfig(num_envs=NUM_ENVS, substeps=SUBSTEPS),
+                        lib, rng=0)
+    agent = ImitationPPO(env, PPOConfig(horizon=HORIZON,
+                                        minibatch_size=NUM_ENVS * HORIZON // 8,
+                                        mini_epochs=1), seed=7)
+    ts = agent.init_state()
+
+    @jax.jit
+    def rollout(params, obs_norm, env_state, raw_obs, ctx_feat, key):
+        def step_fn(carry, t):
+            env_state, raw_obs, key = carry
+            key, k = jax.random.split(key)
+            _, _, mu, _, _ = agent._forward(env, params, obs_norm, raw_obs,
+                                            ctx_feat, t)
+            action = mu + agent.sigma[None] * jax.random.normal(k, mu.shape)
+            env_state2, out = env.step(env_state, action)
+            return (env_state2, out.obs, key), out.reward.sum()
+
+        (env_state, raw_obs, _), rews = jax.lax.scan(
+            step_fn, (env_state, raw_obs, key), jnp.arange(HORIZON))
+        return env_state, raw_obs, rews.sum()
+
+    key = jax.random.PRNGKey(0)
+    env_state, raw_obs, ctx = env.reset_all(key)
+    ctx_feat = ctx["feat"]
+
+    # warmup + compile
+    env_state, raw_obs, r = rollout(ts.params, ts.obs_norm, env_state, raw_obs,
+                                    ctx_feat, key)
+    jax.block_until_ready(r)
+
+    reps = 5
+    t0 = time.perf_counter()
+    for i in range(reps):
+        env_state, raw_obs, r = rollout(ts.params, ts.obs_norm, env_state,
+                                        raw_obs, ctx_feat,
+                                        jax.random.PRNGKey(i + 1))
+    jax.block_until_ready(r)
+    dt = time.perf_counter() - t0
+
+    steps_per_s = NUM_ENVS * HORIZON * reps / dt
+    print(json.dumps({
+        "metric": "humanoid_env_steps_per_s",
+        "value": round(steps_per_s, 1),
+        "unit": "env-steps/s/chip",
+        "vs_baseline": round(steps_per_s / BASELINE_STEPS_PER_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

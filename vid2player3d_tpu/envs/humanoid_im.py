@@ -142,6 +142,57 @@ class HumanoidImEnv:
         self.obs_dim = 24 * 3 + 24 * 4 + 69 + 69 + 24 * 3 + 24 * 3 + bodies.shape[-1]
         self.num_actions = cfg.num_actions
 
+    # -- array plumbing for SPMD ----------------------------------------------
+    # Per-env arrays must enter jitted programs as ARGUMENTS (not closure
+    # constants): XLA ignores the shardings of baked-in constants, so a
+    # closure-captured model would silently replicate all compute. `arrays()`
+    # extracts the pytree; `with_arrays()` rebinds traced values at trace time.
+
+    ARRAY_FIELDS = ("model", "motion_ids", "motion_bodies",
+                    "termination_heights", "lib")
+
+    def arrays(self) -> Dict[str, object]:
+        return {f: getattr(self, f) for f in self.ARRAY_FIELDS}
+
+    def with_arrays(self, arrs: Dict[str, object]) -> "HumanoidImEnv":
+        import copy
+
+        env = copy.copy(self)
+        for f, v in arrs.items():
+            setattr(env, f, v)
+        return env
+
+    # -- sharding -------------------------------------------------------------
+
+    def shard(self, mesh, axis: str = "data") -> "HumanoidImEnv":
+        """Copy of this env with per-env arrays laid out P(axis) over `mesh`
+        and shared arrays (motion lib, termination heights) replicated.
+
+        With these placements, any jit-compiled step/rollout/train program
+        becomes SPMD data-parallel over the env axis — the TPU-native
+        replacement for the reference's per-rank sim + Horovod allreduce
+        (SURVEY.md §2.7): XLA partitions per-env compute and inserts
+        all-reduces only for scalar/stat reductions.
+        """
+        import copy
+
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        def put_env(x):
+            spec = PartitionSpec(*((axis,) + (None,) * (x.ndim - 1)))
+            return jax.device_put(x, NamedSharding(mesh, spec))
+
+        def put_rep(x):
+            return jax.device_put(x, NamedSharding(mesh, PartitionSpec()))
+
+        env = copy.copy(self)
+        env.motion_ids = put_env(self.motion_ids)
+        env.motion_bodies = put_env(self.motion_bodies)
+        env.model = jax.tree_util.tree_map(put_env, self.model)
+        env.termination_heights = put_rep(self.termination_heights)
+        env.lib = jax.tree_util.tree_map(put_rep, self.lib)
+        return env
+
     # -- helpers --------------------------------------------------------------
 
     def _raw_obs(self, sim: ArticulationState) -> jnp.ndarray:

@@ -92,12 +92,24 @@ def policy_kl(mu0, sigma0, mu1, sigma1):
 
 
 class ImitationPPO:
-    """Owns the env + network statics; all train state flows through pure fns."""
+    """Owns the env + network statics; all train state flows through pure fns.
+
+    Multi-chip: pass `mesh` (1-D, axis 'data'). Env-axis arrays (sim state,
+    rollout buffers, per-env model) shard along 'data'; params/optimizer state
+    replicate; XLA's SPMD partitioner inserts the gradient/stat all-reduces —
+    the TPU-native analogue of the reference's Horovod DP (SURVEY.md §2.7).
+    Minibatch shuffling is per-shard (each device permutes its own samples, as
+    each Horovod rank shuffles its local batch), so no cross-chip gathers.
+    """
 
     def __init__(self, env: HumanoidImEnv, cfg: PPOConfig = PPOConfig(),
-                 seed: int = 7):
+                 seed: int = 7, mesh=None):
         self.env = env
         self.cfg = cfg
+        self.mesh = mesh
+        self.dp = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+        assert env.cfg.num_envs % self.dp == 0
+        assert cfg.minibatch_size % self.dp == 0
         self.num_actions = env.num_actions
         self.obs_dim = 734
 
@@ -130,7 +142,12 @@ class ImitationPPO:
     def init_state(self) -> TrainState:
         # fresh buffers every call: train_epoch donates its input state, so the
         # cached template must never be handed out by reference
-        return jax.tree_util.tree_map(jnp.copy, self._init)
+        ts = jax.tree_util.tree_map(jnp.copy, self._init)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            ts = jax.device_put(ts, NamedSharding(self.mesh, PartitionSpec()))
+        return ts
 
     # -- policy forward -------------------------------------------------------
 
@@ -142,11 +159,11 @@ class ImitationPPO:
         return (f[:, :72].reshape(N, 24, 3), f[:, 72:168].reshape(N, 24, 4),
                 f[:, 168:237])
 
-    def _forward(self, params, obs_norm, raw_obs, ctx_feat, t):
+    def _forward(self, env, params, obs_norm, raw_obs, ctx_feat, t):
         """raw env obs + context → (imitation_obs, normalized_obs, mu, value_norm,
         target_dof). mu includes the residual action."""
         cb_pos, cb_rot, c_dof = self._ctx_frame(ctx_feat, t)
-        io = self.env.imitation_obs(raw_obs, cb_pos, cb_rot, c_dof)
+        io = env.imitation_obs(raw_obs, cb_pos, cb_rot, c_dof)
         io_n = RN.normalize(obs_norm, io, self.cfg.obs_clip)
         mu, value = self.net.apply(params, io_n)
         mu = mu.at[:, :69].add(c_dof)  # residual action (`im_network_builder.py:226-229`)
@@ -154,9 +171,8 @@ class ImitationPPO:
 
     # -- rollout --------------------------------------------------------------
 
-    def _rollout(self, ts: TrainState, key):
+    def _rollout(self, env, ts: TrainState, key):
         cfg = self.cfg
-        env = self.env
         k_reset, k_act = jax.random.split(key)
         env_state, raw_obs, ctx = env.reset_all(k_reset)
         ctx_feat = ctx["feat"]
@@ -164,8 +180,8 @@ class ImitationPPO:
         def step_fn(carry, t):
             env_state, raw_obs, key = carry
             key, k = jax.random.split(key)
-            io, io_n, mu, v_norm, c_dof = self._forward(ts.params, ts.obs_norm,
-                                                        raw_obs, ctx_feat, t)
+            io, io_n, mu, v_norm, c_dof = self._forward(
+                env, ts.params, ts.obs_norm, raw_obs, ctx_feat, t)
             value = RN.unnormalize_value(ts.val_norm, v_norm[:, None])[:, 0] \
                 if cfg.normalize_value else v_norm
             alive = (env_state.reset_buf == 0).astype(jnp.float32)
@@ -177,8 +193,8 @@ class ImitationPPO:
             env_state2, out = env.step(env_state, action)
 
             # next value with terminate masking (`im_agent.py:348-359`)
-            _, _, _, vn_next, _ = self._forward(ts.params, ts.obs_norm, out.obs,
-                                                ctx_feat, t + 1)
+            _, _, _, vn_next, _ = self._forward(env, ts.params, ts.obs_norm,
+                                                out.obs, ctx_feat, t + 1)
             v_next = RN.unnormalize_value(ts.val_norm, vn_next[:, None])[:, 0] \
                 if cfg.normalize_value else vn_next
             next_value = v_next * (1.0 - out.terminate.astype(jnp.float32))
@@ -216,7 +232,7 @@ class ImitationPPO:
         cfg = self.cfg
         io_n = RN.normalize(obs_norm, batch["obs"], cfg.obs_clip)
         mu_raw, v_norm = self.net.apply(params, io_n)
-        mu = mu_raw.at[:, :69].add(batch["ctx_dof"])
+        mu = mu_raw.at[..., :69].add(batch["ctx_dof"])
         neglogp = diag_gaussian_neglogp(batch["action"], mu, sigma[None])
 
         ratio = jnp.exp(batch["old_neglogp"] - neglogp)
@@ -246,21 +262,32 @@ class ImitationPPO:
 
     # -- epoch ----------------------------------------------------------------
 
-    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def train_epoch(self, ts: TrainState) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        """Env arrays enter as a real jit argument so their P('data')
+        shardings anchor the SPMD partitioner (constants' shardings are
+        ignored and would replicate all compute)."""
+        return self._epoch(ts, self.env.arrays())
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def _epoch(self, ts: TrainState, env_arrays) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         cfg = self.cfg
-        env = self.env
+        env = self.env.with_arrays(env_arrays)
         key, k_roll, k_shuffle = jax.random.split(ts.key, 3)
 
-        traj = self._rollout(ts, k_roll)
+        traj = self._rollout(env, ts, k_roll)
         advs = self._gae(traj)
         returns = advs + traj["value"]
 
         T, N = cfg.horizon, env.cfg.num_envs
         B = T * N
+        dp = self.dp
+        local_B = B // dp
 
         def flat(x):
-            return x.reshape((B,) + x.shape[2:])
+            """(T, N, ...) → (dp, local_B, ...), env-axis major so each block
+            stays on its own shard (reshapes of a sharded-major axis are local)."""
+            x = jnp.swapaxes(x, 0, 1)                      # (N, T, ...)
+            return x.reshape((dp, local_B) + x.shape[2:])
 
         obs_f = flat(traj["obs"])
         alive_f = flat(traj["alive"])
@@ -281,7 +308,7 @@ class ImitationPPO:
             if cfg.normalize_value else ts.val_norm
         returns_f = flat(returns)
         if cfg.normalize_value:
-            ret_norm_f = RN.normalize_value(val_norm, returns_f[:, None])[:, 0]
+            ret_norm_f = RN.normalize_value(val_norm, returns_f[..., None])[..., 0]
         else:
             ret_norm_f = returns_f
 
@@ -297,15 +324,25 @@ class ImitationPPO:
             old_neglogp=flat(traj["neglogp"]), adv=adv_f,
             return_norm=ret_norm_f, alive=alive_f, ctx_dof=ctx_dof_f)
 
+        mb_local = cfg.minibatch_size // dp
+
         def mini_epoch(carry, k):
             params, opt_state, lr = carry
-            perm = jax.random.permutation(k, B)
+            # per-shard permutation: each data-parallel block shuffles its own
+            # local_B samples, so the minibatch gather never crosses shards
+            perm = jax.vmap(lambda kk: jax.random.permutation(kk, local_B))(
+                jax.random.split(k, dp))                      # (dp, local_B)
 
             def mb_step(carry, i):
                 params, opt_state, lr = carry
                 idx = jax.lax.dynamic_slice_in_dim(
-                    perm, i * cfg.minibatch_size, cfg.minibatch_size)
-                mb = {k2: v[idx] for k2, v in batch_all.items()}
+                    perm, i * mb_local, mb_local, axis=1)     # (dp, mb_local)
+
+                def take(v):
+                    ix = idx.reshape(idx.shape + (1,) * (v.ndim - 2))
+                    return jnp.take_along_axis(v, ix, axis=1)
+
+                mb = {k2: take(v) for k2, v in batch_all.items()}
                 (loss, stats), grads = jax.value_and_grad(
                     self._loss, has_aux=True)(params, mb, obs_norm, self.sigma)
                 updates, opt_state = self.tx.update(grads, opt_state, params)
