@@ -213,7 +213,7 @@ def aba(model: ArticulationModel, state: ArticulationState, joint_torque,
         uj = (joint_torque[:, j - 1]
               - model.kd[:, j - 1][..., None] * state.joint_omega[:, j - 1]
               - pA[j][..., :3])
-        Dinv_j = jnp.linalg.inv(Dj)
+        Dinv_j = sp.inv33(Dj)
         U[j], Dinv[j], u[j] = Uj, Dinv_j, uj
 
         Ia = IA[j] - Uj @ Dinv_j @ jnp.swapaxes(Uj, -1, -2)
@@ -227,7 +227,7 @@ def aba(model: ArticulationModel, state: ArticulationState, joint_torque,
     if fixed_base:
         a[0] = jnp.zeros_like(pA[0])
     else:
-        a[0] = jnp.linalg.solve(IA[0], -pA[0][..., None])[..., 0]
+        a[0] = sp.solve_spd66(IA[0], -pA[0])
 
     # --- pass 3: forward, joint accelerations
     qdd = [None] * (J - 1)

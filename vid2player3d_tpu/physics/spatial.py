@@ -43,6 +43,50 @@ def spatial_inertia(mass, com, inertia_com):
     return jnp.concatenate([top, bot], axis=-2)
 
 
+def inv33(M):
+    """Closed-form adjugate inverse of (..., 3, 3) matrices.
+
+    Batched `jnp.linalg.inv` lowers to tiny LU factorizations that serialize on
+    TPU; the cofactor formula is pure elementwise math that vectorizes over the
+    env batch.
+    """
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I = a * e - b * d
+    det = a * A + b * D + c * G
+    inv_det = 1.0 / det
+    adj = jnp.stack([A, B, C, D, E, F, G, H, I], axis=-1)
+    return (adj * inv_det[..., None]).reshape(M.shape)
+
+
+def solve_spd66(A, b):
+    """Solve A x = b for symmetric positive-definite (..., 6, 6) A via 2x2-block
+    Schur complement with closed-form 3x3 inverses (no batched LU)."""
+    A11 = A[..., :3, :3]
+    A12 = A[..., :3, 3:]
+    A21 = A[..., 3:, :3]
+    A22 = A[..., 3:, 3:]
+    b1 = b[..., :3]
+    b2 = b[..., 3:]
+    A11i = inv33(A11)
+    A11i_A12 = A11i @ A12
+    S = A22 - A21 @ A11i_A12
+    Si = inv33(S)
+    y1 = jnp.einsum("...ij,...j->...i", A11i, b1)
+    x2 = jnp.einsum("...ij,...j->...i", Si, b2 - jnp.einsum("...ij,...j->...i", A21, y1))
+    x1 = y1 - jnp.einsum("...ij,...j->...i", A11i_A12, x2)
+    return jnp.concatenate([x1, x2], axis=-1)
+
+
 def cross_motion(v, m):
     """v ×ₘ m for motion vectors: [w;u] × [m1;m2] = [w×m1; w×m2 + u×m1]."""
     w, u = v[..., :3], v[..., 3:]
