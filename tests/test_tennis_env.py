@@ -1,0 +1,95 @@
+"""Fused hierarchical tennis env: step semantics, task machine, rewards."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vid2player3d_tpu.envs import TennisConfig, TennisEnv
+from vid2player3d_tpu.tennis import player as P
+from vid2player3d_tpu.tennis.ball import TennisBallGenerator
+
+
+@pytest.fixture(scope="module")
+def env():
+    key = jax.random.PRNGKey(0)
+    spec = P.make_random_spec(key, hidden=32, experts=2)
+    # init condition pool: small raw feature rows with a plausible root
+    rng = np.random.default_rng(0)
+    feats = (rng.standard_normal((8, P.FRAME_SIZE)) * 0.05).astype(np.float32)
+    feats[:, 2] = 0.95  # root height
+    cfg = TennisConfig(num_envs=4, substeps=2, max_episode_length=50,
+                       reset_reaction_nframes=12)
+    gen = TennisBallGenerator(num_candidates=256, seed=0)
+    return TennisEnv(cfg, spec, feats, ball_generator=gen)
+
+
+def test_reset_shapes(env):
+    state, obs = env.reset_all(jax.random.PRNGKey(1))
+    assert obs.shape == (4, env.obs_dim)
+    assert env.obs_dim == 225 + 3 * env.cfg.obs_ball_traj_length + 2
+    assert np.all(np.isfinite(np.asarray(obs)))
+    # reaction phase active, ball on the opponent side heading in
+    assert np.all(np.asarray(state.tar_action) == 1)
+    assert np.all(np.asarray(state.ball_pos[:, 1]) > 0)
+    # humanoid near the baseline center
+    assert np.all(np.abs(np.asarray(state.sim.root_pos[:, 1]) + 13.0) < 1.5)
+
+
+def test_step_runs_and_stays_finite(env):
+    state, obs = env.reset_all(jax.random.PRNGKey(2))
+    step = jax.jit(env.step)
+    key = jax.random.PRNGKey(3)
+    for t in range(20):
+        key, sub = jax.random.split(key)
+        act = 0.1 * jax.random.normal(sub, (4, env.num_actions))
+        state, out = step(state, act)
+        assert np.all(np.isfinite(np.asarray(out.obs)))
+        assert np.all(np.isfinite(np.asarray(out.reward)))
+    assert np.all(np.asarray(state.progress) >= 1)
+
+
+def test_reaction_reset_recycles_ball(env):
+    """After tar_time reaches tar_time_total a fresh incoming ball arrives."""
+    state, _ = env.reset_all(jax.random.PRNGKey(4))
+    # avoid episode termination interference
+    state = dataclasses.replace(
+        state, tar_time_total=jnp.full(4, 3, jnp.int32))
+    step = jax.jit(env.step)
+    act = jnp.zeros((4, env.num_actions))
+    seen_reset = False
+    prev_ball_y = np.asarray(state.ball_pos[:, 1]).copy()
+    for t in range(6):
+        state, out = step(state, act)
+        tar_time = np.asarray(state.tar_time)
+        if np.any(tar_time == 0) and t >= 2:
+            seen_reset = True
+            alive = ~np.asarray(out.done, bool)
+            fresh = (tar_time == 0) & alive
+            if fresh.any():
+                # ball was re-launched from the opponent side
+                assert np.all(np.asarray(state.ball_pos[fresh, 1]) > 0)
+    assert seen_reset
+
+
+def test_rewards_modes_shapes(env):
+    state, _ = env.reset_all(jax.random.PRNGKey(5))
+    for mode, nsub in [("reach", 1), ("return", 2), ("return_w_estimate", 2)]:
+        env2 = TennisEnv.__new__(TennisEnv)
+        env2.__dict__.update(env.__dict__)
+        env2.cfg = dataclasses.replace(env.cfg, reward_type=mode)
+        r, subs = env2._reward(state, state.has_contact)
+        assert r.shape == (4,) and subs.shape == (4, nsub)
+        assert np.all(np.isfinite(np.asarray(r)))
+        assert np.all(np.asarray(r) >= 0)
+
+
+def test_done_envs_auto_reset(env):
+    state, _ = env.reset_all(jax.random.PRNGKey(6))
+    state = dataclasses.replace(state, reset_buf=jnp.ones(4, jnp.int32))
+    step = jax.jit(env.step)
+    state, out = step(state, jnp.zeros((4, env.num_actions)))
+    # progress restarted for everyone (masked in-step reset)
+    assert np.all(np.asarray(state.progress) == 1)

@@ -1,2 +1,3 @@
 from .humanoid_im import HumanoidImEnv, HumanoidImConfig, EnvState, StepOutput  # noqa: F401
+from .tennis import TennisEnv, TennisConfig, TennisState  # noqa: F401
 from . import obs  # noqa: F401

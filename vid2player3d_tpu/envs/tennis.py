@@ -1,0 +1,639 @@
+"""Hierarchical tennis environment — the flagship vid2player task, fused.
+
+TPU-native re-design of the reference's three-object stack (SURVEY.md §3.2):
+`PhysicsMVAEController` (high-level env, `physics_mvae_controller.py`) owning
+an `MVAEPlayer` (kinematic decoder, `mvae_player.py`) and a nested rl_games
+player around `HumanoidSMPLIMMVAE` (Isaac physics task,
+`humanoid_smpl_im_mvae.py`). The reference dispatches five Python stages per
+frame — π_high, MVAE decode, FK, π_low, PhysX — through a player-inside-env
+indirection; here ALL of it is one jitted
+
+    step(state, action) -> (state, StepOutput)
+
+so XLA fuses decoder matmuls, FK, PD control, articulation substeps, ball
+aerodynamics, contact events, rewards, and the reaction/recovery task machine
+into a single device program. Resets (env done, reaction, recovery) are
+masked in-step `where`-updates, never indexed host branches.
+
+Frame conventions: court z-up, net at y=0, player on y<0 (movement box
+court_min/max = [-5,-16]..[5,-10], stage YAMLs). Ball launches arrive from
+y≈+12. Kinematic (MVAE) joint rotations are SMPL-order local rotmats; the
+physics humanoid is the same 24-body articulation used by HumanoidImEnv
+(MuJoCo joint order, SMPL body frames).
+
+Mirrored semantics, by reference line:
+- action split = 32 MVAE latents × vae_action_scale 1.5 + 3 residual dof
+  (`physics_mvae_controller.py:148-156, 247-263`)
+- random-walk latents during recovery (`:252-257`)
+- actor obs 225 = root pos/vel + 24 rel body pos + 24 rot6d + racket normal
+  (`:333-346`); task obs = 10×3 future ball traj rel racket + 2 target
+  (`:348-360`)
+- rewards reach / return / return_w_estimate (`:491-601`)
+- reaction window = reset_reaction_nframes ± 5 frames (`:228-231`)
+- recovery on contact or ball passing the player (`:421-423`)
+- termination: out of court, miss, estimated bounce-out, NaN (`:408-419`)
+- bounce estimate at contact via the out-estimator (`:297-313`)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import quat as Q
+from ..core import rot as R
+from ..core import smpl as S
+from ..physics import asset, engine
+from ..physics.model import ArticulationModel, ArticulationState, ContactParams
+from ..tennis import ball as B
+from ..tennis import court, player as P
+from ..tennis.racket import grip_arrays
+
+
+@dataclasses.dataclass(frozen=True)
+class TennisConfig:
+    num_envs: int = 64
+    control_dt: float = 1.0 / 30.0
+    substeps: int = 6
+    max_episode_length: int = 300
+    # action space (physics_mvae_controller.py:148-156)
+    num_latents: int = 32
+    add_residual_dof: bool = True
+    vae_action_scale: float = 1.5
+    random_walk_in_recovery: bool = True
+    # task machine
+    reset_reaction_nframes: int = 70
+    obs_ball_traj_length: int = 10
+    use_random_ball_target: str = "continuous"   # "discrete" | "continuous"
+    # reward
+    reward_type: str = "return_w_estimate"       # reach | return | return_w_estimate
+    reward_weights: Tuple[Tuple[str, float], ...] = (("pos", 0.1),
+                                                     ("ball_pos", 0.9))
+    reward_scales: Tuple[Tuple[str, float], ...] = (
+        ("pos", 5.0), ("phase", 10.0), ("bounce_pos", 1.0),
+        ("bounce_time", 0.5))
+    enable_early_termination: bool = True
+    # player court box (stage YAMLs court_min/max)
+    court_min: Tuple[float, float] = (-5.0, -16.0)
+    court_max: Tuple[float, float] = (5.0, -10.0)
+    target_bounce_min: Tuple[float, float, float] = (-3.0, 7.0, 0.0)
+    target_bounce_max: Tuple[float, float, float] = (3.0, 11.0, 0.0)
+    # racket-ball contact model (TPU equivalent of PhysX shape contact)
+    racket_restitution: float = 0.9
+    spin_gain: float = 0.15     # rev/s per m/s tangential racket speed
+    ball_traj_pool_len: int = 100
+
+    @property
+    def num_actions(self) -> int:
+        return self.num_latents + (3 if self.add_residual_dof else 0)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class TennisState:
+    mvae: P.MVAEPlayerState
+    sim: ArticulationState
+    # ball
+    ball_pos: jnp.ndarray        # (N,3)
+    ball_vel: jnp.ndarray        # (N,3)
+    ball_vspin: jnp.ndarray      # (N,)
+    ball_traj: jnp.ndarray       # (N,T,3) future ball positions (rolls left)
+    # racket
+    racket_pos: jnp.ndarray      # (N,3)
+    racket_vel: jnp.ndarray      # (N,3)
+    racket_normal: jnp.ndarray   # (N,3)
+    # task machine
+    tar_action: jnp.ndarray      # (N,) int32: 1 reaction, 0 recovery
+    tar_time: jnp.ndarray        # (N,) int32
+    tar_time_total: jnp.ndarray  # (N,) int32
+    target_bounce: jnp.ndarray   # (N,3)
+    has_contact: jnp.ndarray     # (N,) bool latched this cycle
+    has_bounce: jnp.ndarray      # (N,) bool outgoing-ball bounce latch
+    bounce_pos: jnp.ndarray      # (N,3)
+    bounce_in: jnp.ndarray       # (N,) bool
+    est_bounce_pos: jnp.ndarray  # (N,2)
+    est_bounce_time: jnp.ndarray # (N,)
+    est_bounce_in: jnp.ndarray   # (N,) bool
+    est_max_height: jnp.ndarray  # (N,)
+    # bookkeeping
+    progress: jnp.ndarray        # (N,) int32
+    reset_buf: jnp.ndarray       # (N,) int32
+    terminate_buf: jnp.ndarray   # (N,) int32
+    key: jnp.ndarray             # PRNG carried through steps
+
+    def tree_flatten(self):
+        return tuple(getattr(self, f.name) for f in
+                     dataclasses.fields(self)), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        return cls(*ch)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class StepOutput:
+    obs: jnp.ndarray
+    reward: jnp.ndarray
+    done: jnp.ndarray
+    terminate: jnp.ndarray
+    sub_rewards: jnp.ndarray
+
+    def tree_flatten(self):
+        return (self.obs, self.reward, self.done, self.terminate,
+                self.sub_rewards), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        return cls(*ch)
+
+
+class TennisEnv:
+    """Host wrapper owning static pieces (spec, model, pools); all step/reset
+    logic is pure and jittable."""
+
+    def __init__(self, cfg: TennisConfig, spec: P.MVAEPlayerSpec,
+                 init_conditions: np.ndarray,
+                 ball_generator: Optional[B.TennisBallGenerator] = None,
+                 smpl_model: Optional[S.SMPLModel] = None,
+                 betas: Optional[np.ndarray] = None,
+                 pi_low: Optional[Callable] = None,
+                 pi_low_params=None,
+                 contact_params: ContactParams = ContactParams()):
+        self.cfg = cfg
+        self.spec = spec
+        self.smpl = smpl_model if smpl_model is not None else S.make_synthetic_smpl()
+        if betas is None:
+            betas = np.zeros((cfg.num_envs, 10), np.float32)
+        self.model = asset.build_humanoid_model(self.smpl, betas)
+        self.rest_joint_offsets = self.model.joint_pos  # (N,24,3) mujoco order
+        self.init_conditions = jnp.asarray(init_conditions, jnp.float32)
+        self.gen = ball_generator or B.TennisBallGenerator(
+            {"ball_traj_length": cfg.ball_traj_pool_len},
+            num_candidates=2048)
+        self.pi_low = pi_low
+        self.pi_low_params = pi_low_params
+        self.contact_params = contact_params
+        self.ball_params = B.BallParams()
+
+        names = S.MUJOCO_JOINT_NAMES
+        self.wrist_id = names.index("R_Wrist" if spec.righthand else "L_Wrist")
+        _, _, self.racket_reach, self.racket_head_radius = grip_arrays(
+            "eastern" if spec.righthand else "lefthand_semi_western")
+        self.obs_dim = (3 + 3 + 24 * 3 + 24 * 6 + 3
+                        + 3 * cfg.obs_ball_traj_length + 2)
+        self.num_actions = cfg.num_actions
+        self._rw = dict(cfg.reward_weights)
+        self._rs = dict(cfg.reward_scales)
+
+    # -- kinematic targets ---------------------------------------------------
+
+    def _kinematic_targets(self, mvae: P.MVAEPlayerState):
+        """MVAE SMPL-order local rotmats -> sim PD dof targets (69, mujoco
+        order) + target body pos/rot for the low-level obs (reference
+        `_smpl_to_sim`, humanoid_smpl_im_mvae.py:897-946)."""
+        rot_mj = mvae.joint_rotmat[:, S.SMPL_2_MUJOCO]        # (N,24,3,3)
+        dof_tar = R.rotmat_to_angle_axis(
+            rot_mj[:, 1:].reshape(-1, 3, 3)).reshape(
+                mvae.joint_rotmat.shape[0], 69)
+        # FK for target body positions/orientations in world
+        parents = self.model.parents
+        off = self.rest_joint_offsets
+        gR = [rot_mj[:, 0]]
+        gp = [mvae.root_pos]
+        for j in range(1, 24):
+            p = parents[j]
+            gp.append(gp[p] + jnp.einsum("nij,nj->ni", gR[p], off[:, j]))
+            gR.append(gR[p] @ rot_mj[:, j])
+        body_pos = jnp.stack(gp, axis=1)
+        body_rot = Q.rotmat_to_quat(jnp.stack(gR, axis=1))
+        return dof_tar, body_pos, body_rot
+
+    # -- reset helpers ---------------------------------------------------------
+
+    def _sample_ball(self, key, n):
+        traj, lpos, lvel, lspin = self.gen.sample(key, n)
+        return traj, lpos, lvel, lspin
+
+    def _sample_target(self, key, n):
+        cfg = self.cfg
+        lo = jnp.asarray(cfg.target_bounce_min)
+        hi = jnp.asarray(cfg.target_bounce_max)
+        if cfg.use_random_ball_target == "discrete":
+            # left/middle/right thirds (physics_mvae_controller.py:236-244)
+            r = jax.random.uniform(key, (n,))
+            x = jnp.where(r < 0.33, -3.0, jnp.where(r > 0.67, 3.0, 0.0))
+            return jnp.stack([x, jnp.full((n,), 10.0), jnp.zeros(n)], -1)
+        return jax.random.uniform(key, (n, 3)) * (hi - lo) + lo
+
+    def reset_all(self, key) -> Tuple[TennisState, jnp.ndarray]:
+        cfg = self.cfg
+        N = cfg.num_envs
+        k_init, k_xy, k_ball, k_tar, k_tt, k_carry = jax.random.split(key, 6)
+
+        # init MVAE state from a random dataset condition frame, root near
+        # the baseline center (mvae_player.py:229-236)
+        idx = jax.random.randint(k_init, (N,), 0,
+                                 self.init_conditions.shape[0])
+        feat0 = self.init_conditions[idx]
+        root_xy = (jax.random.uniform(k_xy, (N, 2)) - 0.5) \
+            * jnp.asarray([2.0, 1.5]) + jnp.asarray([0.0, -13.0])
+        mvae = P.reset(self.spec, feat0, root_xy=root_xy)
+
+        # physics humanoid snapped to the kinematic pose
+        dof_tar, body_pos, body_rot = self._kinematic_targets(mvae)
+        sim = engine.set_state_from_reference(
+            self.model, body_pos[:, 0], body_rot[:, 0],
+            jnp.zeros((N, 3)), jnp.zeros((N, 3)), dof_tar,
+            jnp.zeros((N, 69)))
+
+        traj, lpos, lvel, lspin = self._sample_ball(k_ball, N)
+        tt = cfg.reset_reaction_nframes + jax.random.randint(
+            k_tt, (N,), -5, 5)
+
+        wrist_pos, wrist_rot = self._wrist_state(sim)
+        racket_pos, racket_normal = self._racket(wrist_pos, wrist_rot)
+
+        state = TennisState(
+            mvae=mvae, sim=sim,
+            ball_pos=lpos, ball_vel=lvel, ball_vspin=lspin, ball_traj=traj,
+            racket_pos=racket_pos, racket_vel=jnp.zeros((N, 3)),
+            racket_normal=racket_normal,
+            tar_action=jnp.ones(N, jnp.int32),
+            tar_time=jnp.zeros(N, jnp.int32),
+            tar_time_total=tt.astype(jnp.int32),
+            target_bounce=self._sample_target(k_tar, N),
+            has_contact=jnp.zeros(N, bool),
+            has_bounce=jnp.zeros(N, bool),
+            bounce_pos=jnp.zeros((N, 3)),
+            bounce_in=jnp.zeros(N, bool),
+            est_bounce_pos=jnp.zeros((N, 2)),
+            est_bounce_time=jnp.zeros(N),
+            est_bounce_in=jnp.zeros(N, bool),
+            est_max_height=jnp.zeros(N),
+            progress=jnp.zeros(N, jnp.int32),
+            reset_buf=jnp.zeros(N, jnp.int32),
+            terminate_buf=jnp.zeros(N, jnp.int32),
+            key=k_carry,
+        )
+        return state, self._obs(state)
+
+    def _masked_env_reset(self, state: TennisState, key) -> TennisState:
+        """where-reset of envs whose reset_buf latched last step — the
+        fixed-shape equivalent of `_reset_envs(env_ids)` (:173-202)."""
+        N = self.cfg.num_envs
+        done = state.reset_buf == 1
+        fresh, _ = self.reset_all(key)
+
+        def pick(a, b):
+            if a.ndim == 0 or a.shape[0] != N:   # non-per-env leaf (rng key)
+                return b
+            d = done.reshape((N,) + (1,) * (a.ndim - 1))
+            return jnp.where(d, a, b)
+
+        return jax.tree_util.tree_map(pick, fresh, state)
+
+    # -- racket ---------------------------------------------------------------
+
+    def _wrist_state(self, sim: ArticulationState):
+        bp, bq, bl, ba = engine.fk_world(self.model, sim)
+        return bp[:, self.wrist_id], bq[:, self.wrist_id]
+
+    def _racket(self, wrist_pos, wrist_quat):
+        rm = Q.quat_to_rotmat(wrist_quat)
+        dir_c, normal_c, reach, _ = grip_arrays("eastern")
+        rdir = rm @ jnp.asarray(dir_c)
+        rnormal = rm @ jnp.asarray(normal_c)
+        return wrist_pos + rdir * reach, rnormal
+
+    # -- ball substep integration with racket contact --------------------------
+
+    def _ball_physics(self, state: TennisState, racket_new_pos,
+                      racket_normal):
+        """Integrate the ball over the control step with aero forces, ground
+        bounce, and a swept racket-disc contact (the TPU equivalent of the
+        reference's PhysX racket shapes + force-sensor detection,
+        `humanoid_smpl_im_mvae.py:711-808`)."""
+        cfg = self.cfg
+        p = self.ball_params
+        dt = cfg.control_dt / cfg.substeps
+        N = cfg.num_envs
+        r_prev = state.racket_pos
+        r_new = racket_new_pos
+        racket_vel = (r_new - r_prev) / cfg.control_dt
+
+        def sub(carry, i):
+            pos, vel, vspin, contact, bounce, bpos = carry
+            f = B.aero_force(vel, vspin, p)
+            acc = f / p.mass + jnp.array([0.0, 0.0, -p.gravity])
+            vel = vel + acc * dt
+            pos_new = pos + vel * dt
+
+            # racket contact: ball near interpolated racket head, incoming,
+            # during reaction, at most one contact per cycle
+            alpha = (i + 1.0) / cfg.substeps
+            r_pos = r_prev + alpha * (r_new - r_prev)
+            d = pos_new - r_pos
+            dist = jnp.linalg.norm(d, axis=-1)
+            rel_vel = vel - racket_vel
+            approaching = jnp.sum(rel_vel * d, axis=-1) < 0
+            hit = ((dist < self.racket_head_radius + p.radius + 0.02)
+                   & approaching & ~contact & (state.tar_action == 1))
+            # reflect relative velocity about the racket normal
+            vn = jnp.sum(rel_vel * racket_normal, axis=-1, keepdims=True)
+            refl = rel_vel - (1.0 + cfg.racket_restitution) * vn * racket_normal
+            out_vel = racket_vel + refl
+            tangential = refl - jnp.sum(refl * racket_normal, axis=-1,
+                                        keepdims=True) * racket_normal
+            out_spin = jnp.clip(cfg.spin_gain * jnp.linalg.norm(
+                tangential, axis=-1), 0.0, 10.0)
+            vel = jnp.where(hit[:, None], out_vel, vel)
+            vspin = jnp.where(hit, out_spin, vspin)
+            contact = contact | hit
+
+            # ground bounce
+            ground = pos_new[:, 2] <= p.radius
+            gvz = vel[:, 2]
+            bvel = vel.at[:, 2].set(-p.restitution * gvz)
+            bvel = bvel.at[:, :2].multiply(0.8)
+            vel = jnp.where(ground[:, None], bvel, vel)
+            pos_new = pos_new.at[:, 2].set(
+                jnp.maximum(pos_new[:, 2], p.radius))
+            first_bounce = ground & ~bounce & contact  # outgoing-ball bounce
+            bpos = jnp.where(first_bounce[:, None], pos_new, bpos)
+            bounce = bounce | first_bounce
+            vspin = jnp.where(ground, jnp.abs(vspin), vspin)
+            return (pos_new, vel, vspin, contact, bounce, bpos), hit
+
+        (pos, vel, vspin, contact, bounce, bpos), hits = jax.lax.scan(
+            sub, (state.ball_pos, state.ball_vel, state.ball_vspin,
+                  state.has_contact, state.has_bounce, state.bounce_pos),
+            jnp.arange(cfg.substeps))
+        contact_now = jnp.any(hits, axis=0) & ~state.has_contact
+        bounce_now = bounce & ~state.has_bounce
+        return pos, vel, vspin, contact, bounce, bpos, contact_now, \
+            bounce_now, racket_vel
+
+    # -- observations -----------------------------------------------------------
+
+    def _obs(self, state: TennisState) -> jnp.ndarray:
+        cfg = self.cfg
+        N = cfg.num_envs
+        bp, bq, bl, ba = engine.fk_world(self.model, state.sim)
+        root_pos = bp[:, 0]
+        root_vel = bl[:, 0]
+        rel = bp[:, 1:] - root_pos[:, None]          # (N,23,3)
+        rel = jnp.concatenate([rel.reshape(N, -1),
+                               (state.racket_pos - root_pos)], axis=-1)
+        rot6d = R.rotmat_to_rot6d(Q.quat_to_rotmat(
+            bq.reshape(-1, 4))).reshape(N, 24 * 6)
+        actor = jnp.concatenate([root_pos, root_vel, rel, rot6d,
+                                 state.racket_normal], axis=-1)
+        ball_win = state.ball_traj[:, :cfg.obs_ball_traj_length]
+        task = (ball_win - state.racket_pos[:, None]).reshape(N, -1)
+        target = state.target_bounce[:, :2] - root_pos[:, :2]
+        obs = jnp.concatenate([actor, task, target], axis=-1)
+        return jnp.nan_to_num(obs, nan=0.0, posinf=0.0, neginf=0.0)
+
+    # -- rewards (reference :491-601) -------------------------------------------
+
+    def _reward(self, state: TennisState, contact_latched):
+        rs, rw = self._rs, self._rw
+        phase = state.mvae.phase_pred
+        pos_err = jnp.sum((state.ball_pos - state.racket_pos) ** 2, axis=-1)
+
+        def near_reward(contact_phase):
+            phase_err = (phase - contact_phase) ** 2
+            return jnp.exp(-rs.get("pos", 5.0) * pos_err) * \
+                jnp.exp(-rs.get("phase", 10.0) * phase_err)
+
+        if self.cfg.reward_type == "reach":
+            # unknown swing -> contact phase 3.0 (reference :504-508)
+            near = near_reward(jnp.where(state.mvae.swing_type == -1, 3.0,
+                                         jnp.pi))
+            pos_reward = jnp.where(state.tar_action == 1, near, 0.0)
+            reward = rw.get("pos", 1.0) * pos_reward
+            subs = jnp.stack([pos_reward], -1)
+        elif self.cfg.reward_type == "return":
+            # bh contact tends to be earlier (reference :535-539)
+            near = near_reward(jnp.where(state.mvae.swing_type >= 2, 3.0,
+                                         jnp.pi))
+            pos_reward = jnp.where(contact_latched, 1.0, near)
+            perr = jnp.where(
+                state.has_bounce,
+                jnp.sum((state.bounce_pos - state.target_bounce) ** 2, -1),
+                jnp.sum((state.ball_pos - state.target_bounce) ** 2, -1))
+            ball_pos_reward = jnp.where(
+                contact_latched, jnp.clip((400.0 - perr) / 400.0, 0.0, 1.0),
+                0.0)
+            reward = rw.get("pos", 0.0) * pos_reward + \
+                rw.get("ball_pos", 0.0) * ball_pos_reward
+            subs = jnp.stack([pos_reward, ball_pos_reward], -1)
+        else:  # return_w_estimate (reference :575-579 uses swing_type_cycle)
+            near = near_reward(jnp.where(state.mvae.swing_type_cycle >= 2,
+                                         3.0, jnp.pi))
+            pos_reward = jnp.where(contact_latched, 1.0, near)
+            perr = jnp.sum(
+                (state.est_bounce_pos - state.target_bounce[:, :2]) ** 2, -1)
+            ball_pos_reward = state.est_bounce_in * \
+                jnp.exp(-rs.get("bounce_pos", 0.05) * perr) * \
+                jnp.exp(-rs.get("bounce_time", 0.1) * state.est_bounce_time)
+            reward = rw.get("pos", 0.0) * pos_reward + \
+                rw.get("ball_pos", 0.0) * ball_pos_reward
+            subs = jnp.stack([pos_reward, ball_pos_reward], -1)
+        return reward, subs
+
+    # -- step --------------------------------------------------------------------
+
+    def step(self, state: TennisState, action: jnp.ndarray
+             ) -> Tuple[TennisState, StepOutput]:
+        cfg = self.cfg
+        N = cfg.num_envs
+        key, k_reset, k_rw, k_ball, k_tar, k_tt = jax.random.split(
+            state.key, 6)
+
+        # 1) masked full reset of done envs (start-of-step, like play_steps)
+        state = self._masked_env_reset(state, k_reset)
+        state = dataclasses.replace(state, key=key)
+
+        # 2) action split + recovery random-walk latents (:247-263)
+        latents = action[:, :cfg.num_latents] * cfg.vae_action_scale
+        if cfg.random_walk_in_recovery:
+            rnd = jnp.clip(jax.random.normal(k_rw, latents.shape), -5.0, 5.0)
+            latents = jnp.where((state.tar_action == 0)[:, None], rnd,
+                                latents)
+        residual = action[:, cfg.num_latents:cfg.num_latents + 3] \
+            if cfg.add_residual_dof else None
+
+        # 3) kinematic MVAE frame
+        mvae = P.step(self.spec, state.mvae, latents, residual)
+        dof_tar, tar_body_pos, tar_body_rot = self._kinematic_targets(mvae)
+
+        # 4) frozen low-level policy (or pure PD tracking)
+        if self.pi_low is not None:
+            low_obs = self._low_level_obs(state.sim, dof_tar, tar_body_pos,
+                                          tar_body_rot)
+            low_act = self.pi_low(self.pi_low_params, low_obs)
+            pd_tar = low_act[:, :69]
+            root_force = root_torque = None
+            if low_act.shape[-1] >= 75:
+                heading_q = Q.calc_heading_quat(
+                    Q.remove_base_rot(state.sim.root_quat))
+                root_force = Q.quat_rotate(heading_q,
+                                           low_act[:, 69:72] * 31.85)
+                root_torque = Q.quat_rotate(heading_q,
+                                            low_act[:, 72:75] * 31.85)
+        else:
+            pd_tar, root_force, root_torque = dof_tar, None, None
+
+        # 5) humanoid physics substeps
+        sim = engine.control_step(
+            self.model, state.sim, pd_tar, root_force, root_torque,
+            substeps=cfg.substeps, control_dt=cfg.control_dt,
+            contact_params=self.contact_params)
+
+        # 6) racket from the new wrist pose; ball substeps + contacts
+        wrist_pos, wrist_quat = self._wrist_state(sim)
+        racket_pos, racket_normal = self._racket(wrist_pos, wrist_quat)
+        (ball_pos, ball_vel, ball_vspin, contact, bounce, bpos, contact_now,
+         bounce_now, racket_vel) = self._ball_physics(
+             state, racket_pos, racket_normal)
+
+        # 7) bounce-in bookkeeping + estimate at contact (:284-313)
+        bounce_in = state.bounce_in | (
+            bounce_now
+            & (bpos[:, 0] > court.COURT_MIN[0])
+            & (bpos[:, 0] < court.COURT_MAX[0])
+            & (bpos[:, 1] > court.COURT_MIN[1])
+            & (bpos[:, 1] < court.COURT_MAX[1]))
+
+        ball_state13 = jnp.concatenate([
+            ball_pos, jnp.zeros((N, 4)).at[:, 3].set(1.0), ball_vel,
+            B.spin_vector(ball_vel, ball_vspin)], axis=-1)
+
+        def with_estimate(_):
+            valid, ebp, ebt, emh = B.estimate_out(ball_state13, num_frames=90,
+                                                  p=self.ball_params)
+            return valid, ebp, ebt, emh
+
+        def without_estimate(_):
+            return (jnp.zeros(N, bool), jnp.zeros((N, 2)), jnp.zeros(N),
+                    jnp.zeros(N))
+
+        valid, ebp, ebt, emh = jax.lax.cond(
+            jnp.any(contact_now), with_estimate, without_estimate, None)
+        upd = contact_now & valid
+        est_bounce_pos = jnp.where(upd[:, None], ebp, state.est_bounce_pos)
+        est_bounce_time = jnp.where(upd, ebt, state.est_bounce_time)
+        est_max_height = jnp.where(upd, emh, state.est_max_height)
+        est_bounce_in = jnp.where(
+            upd,
+            (ebp[:, 0] > court.COURT_MIN[0]) & (ebp[:, 0] < court.COURT_MAX[0])
+            & (ebp[:, 1] > court.COURT_MIN[1])
+            & (ebp[:, 1] < court.COURT_MAX[1]),
+            state.est_bounce_in)
+
+        # 8) roll the future-ball window (physics_step, :366-370)
+        ball_traj = jnp.roll(state.ball_traj, -1, axis=1).at[:, -1].set(0.0)
+
+        tar_time = state.tar_time + 1
+        progress = state.progress + 1
+
+        new_state = dataclasses.replace(
+            state, mvae=mvae, sim=sim, ball_pos=ball_pos, ball_vel=ball_vel,
+            ball_vspin=ball_vspin, ball_traj=ball_traj,
+            racket_pos=racket_pos, racket_vel=racket_vel,
+            racket_normal=racket_normal, has_contact=contact,
+            has_bounce=bounce, bounce_pos=bpos, bounce_in=bounce_in,
+            est_bounce_pos=est_bounce_pos, est_bounce_time=est_bounce_time,
+            est_bounce_in=est_bounce_in, est_max_height=est_max_height,
+            tar_time=tar_time, progress=progress)
+
+        # 9) reward BEFORE task-machine transitions (post_physics_step order)
+        reward, subs = self._reward(new_state, contact)
+        obs = self._obs(new_state)
+
+        # 10) reset / task machine (:408-436)
+        root_pos = new_state.sim.root_pos
+        cmin, cmax = jnp.asarray(cfg.court_min), jnp.asarray(cfg.court_max)
+        out_of_court = ((root_pos[:, 0] < cmin[0]) | (root_pos[:, 1] < cmin[1])
+                        | (root_pos[:, 0] > cmax[0])
+                        | (root_pos[:, 1] > cmax[1]))
+        has_nan = ~jnp.all(jnp.isfinite(obs), axis=-1)
+        terminate = out_of_court | has_nan
+
+        ball_passed = ball_pos[:, 1] < root_pos[:, 1] - 1.0
+        reset_recovery = (new_state.tar_action == 1) & (contact | ball_passed)
+        reset_reaction = tar_time == new_state.tar_time_total
+
+        if cfg.enable_early_termination:
+            terminate = terminate | (reset_recovery & ~contact) | ball_passed
+            if cfg.reward_type.startswith("return_w_estimate"):
+                terminate = terminate | (contact & ~est_bounce_in)
+
+        done = terminate | (progress >= cfg.max_episode_length - 1)
+        reset_reaction = reset_reaction & ~done
+        reset_recovery = reset_recovery & ~done
+
+        # apply recovery transition (:245-247): tar_action->0, clear bounce
+        tar_action = jnp.where(reset_recovery, 0, new_state.tar_action)
+        has_bounce2 = jnp.where(reset_recovery, False, new_state.has_bounce)
+        bounce_pos2 = jnp.where(reset_recovery[:, None], 0.0,
+                                new_state.bounce_pos)
+
+        # apply reaction transition (:216-244): new incoming ball + target
+        traj_new, lpos, lvel, lspin = self._sample_ball(k_ball, N)
+        tt_new = (cfg.reset_reaction_nframes
+                  + jax.random.randint(k_tt, (N,), -5, 5)).astype(jnp.int32)
+        tgt_new = self._sample_target(k_tar, N)
+        rr = reset_reaction
+
+        def sel(new, old):
+            d = rr.reshape((N,) + (1,) * (new.ndim - 1))
+            return jnp.where(d, new, old)
+
+        new_state = dataclasses.replace(
+            new_state,
+            tar_action=jnp.where(rr, 1, tar_action),
+            tar_time=jnp.where(rr, 0, tar_time),
+            tar_time_total=jnp.where(rr, tt_new, new_state.tar_time_total),
+            target_bounce=sel(tgt_new, new_state.target_bounce),
+            ball_pos=sel(lpos, ball_pos), ball_vel=sel(lvel, ball_vel),
+            ball_vspin=jnp.where(rr, lspin, ball_vspin),
+            ball_traj=sel(traj_new, ball_traj),
+            has_contact=jnp.where(rr, False, contact),
+            bounce_in=jnp.where(rr, False, bounce_in),
+            est_bounce_pos=sel(jnp.zeros((N, 2)), est_bounce_pos),
+            est_bounce_time=jnp.where(rr, 0.0, est_bounce_time),
+            est_bounce_in=jnp.where(rr, False, est_bounce_in),
+            est_max_height=jnp.where(rr, 0.0, est_max_height),
+            has_bounce=has_bounce2, bounce_pos=bounce_pos2,
+            mvae=dataclasses.replace(
+                new_state.mvae,
+                swing_type_cycle=jnp.where(
+                    rr, -1, new_state.mvae.swing_type_cycle)),
+            reset_buf=done.astype(jnp.int32),
+            terminate_buf=terminate.astype(jnp.int32))
+
+        return new_state, StepOutput(
+            obs=obs, reward=reward, done=done.astype(jnp.int32),
+            terminate=terminate.astype(jnp.int32), sub_rewards=subs)
+
+    # -- low-level policy obs ----------------------------------------------------
+
+    def _low_level_obs(self, sim, dof_tar, tar_body_pos, tar_body_rot):
+        """Imitation-style obs for the frozen low-level policy: sim state vs
+        kinematic targets (reference `post_mvae_step` computing the low-level
+        obs from MVAE targets, humanoid_smpl_im_mvae.py:593-661)."""
+        from .obs import compute_imitation_obs
+
+        bp, bq, bl, ba = engine.fk_world(self.model, sim)
+        dp = engine.dof_pos(sim)
+        dv = engine.dof_vel(sim)
+        zeros_betas = jnp.zeros((bp.shape[0], 10))
+        return compute_imitation_obs(bp, bq, tar_body_pos, tar_body_rot, dp,
+                                     dv, dof_tar, bl, ba, zeros_betas)
