@@ -1,0 +1,48 @@
+"""High-level PPO on the fused tennis env: one epoch end-to-end."""
+
+import jax
+import numpy as np
+import pytest
+
+from vid2player3d_tpu.envs import TennisConfig, TennisEnv
+from vid2player3d_tpu.learn import V2PConfig, V2PPPO
+from vid2player3d_tpu.tennis import player as P
+from vid2player3d_tpu.tennis.ball import TennisBallGenerator
+
+
+@pytest.fixture(scope="module")
+def agent():
+    key = jax.random.PRNGKey(0)
+    spec = P.make_random_spec(key, hidden=32, experts=2)
+    rng = np.random.default_rng(0)
+    feats = (rng.standard_normal((8, P.FRAME_SIZE)) * 0.05).astype(np.float32)
+    feats[:, 2] = 0.95
+    cfg = TennisConfig(num_envs=4, substeps=2, max_episode_length=40,
+                       reset_reaction_nframes=12)
+    env = TennisEnv(cfg, spec, feats,
+                    ball_generator=TennisBallGenerator(num_candidates=256))
+    return V2PPPO(env, V2PConfig(horizon=8, minibatch_size=16,
+                                 mini_epochs=2, actor_units=(64, 32),
+                                 critic_units=(64, 32),
+                                 aux_dof_res_coef=0.01,
+                                 lr_schedule="adaptive"), seed=3)
+
+
+def test_epoch_runs_and_metrics_finite(agent):
+    ts = agent.init_state()
+    ts, m = agent.train_epoch(ts)
+    ts, m = agent.train_epoch(ts)
+    for k, v in m.items():
+        assert np.isfinite(float(v)), (k, v)
+    assert int(ts.epoch) == 2
+
+
+def test_surgery_roundtrip(agent, tmp_path):
+    ts = agent.init_state()
+    path = str(tmp_path / "stage1.npz")
+    agent.save_checkpoint(path, ts)
+    agent.load_stage_checkpoint(path)
+    ts2 = agent.init_state()
+    a = jax.tree_util.tree_leaves(ts.params)[0]
+    b = jax.tree_util.tree_leaves(ts2.params)[0]
+    assert np.allclose(np.asarray(a), np.asarray(b))

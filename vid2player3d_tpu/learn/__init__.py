@@ -1,2 +1,3 @@
 from .ppo import ImitationPPO, PPOConfig, TrainState  # noqa: F401
+from .v2p_ppo import V2PPPO, V2PConfig, V2PTrainState  # noqa: F401
 from . import networks, running_norm  # noqa: F401

@@ -1,0 +1,266 @@
+"""High-level PPO agent for the hierarchical tennis controller.
+
+Replaces the reference's `V2PAgent` (`vid2player/agents/v2p_agent.py:98-414`)
+on top of rl_games. Differences from `ImitationPPO` that mirror the reference:
+
+- the env persists across epochs; done envs auto-reset in-step (the fused
+  equivalent of `play_steps` calling `env_reset(done_indices)` per step,
+  `v2p_agent.py:234-241`) — so the TrainState carries the env state
+- no alive-masking: every sample is valid because resets are per-step
+- aux loss: L2 on the residual-dof slice of mu, weight `aux_loss_specs.dof_res`
+  (`physics_mvae_controller.py:461-472`)
+- obs normalization ON (normalize_input True at the high level, stage YAMLs)
+- cross-stage surgery: `load_stage_checkpoint` zero-pads grown obs/action dims
+  (`v2p_agent.py:46-96`) via utils.checkpoint.
+
+One jitted `train_epoch` = horizon rollout (lax.scan over the fused tennis
+step) → GAE → mini-epochs × minibatches, all on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..envs.tennis import TennisEnv
+from ..utils import checkpoint as CK
+from . import running_norm as RN
+from .networks import V2PNet
+from .ppo import PPOConfig, diag_gaussian_neglogp, policy_kl
+
+
+@dataclasses.dataclass(frozen=True)
+class V2PConfig(PPOConfig):
+    # stage-1 defaults (federer_train_stage_1.yaml)
+    horizon: int = 64
+    mini_epochs: int = 6
+    minibatch_size: int = 16384
+    learning_rate: float = 1e-4
+    sigma_init: float = -0.69
+    bounds_loss_coef: float = 10.0
+    aux_dof_res_coef: float = 0.0   # aux_loss_specs.dof_res
+    actor_units: Tuple[int, ...] = (1024, 512)
+    critic_units: Tuple[int, ...] = (1024, 512)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class V2PTrainState:
+    params: Any
+    opt_state: Any
+    obs_norm: RN.RunningNormState
+    val_norm: RN.RunningNormState
+    env_state: Any
+    last_obs: jnp.ndarray
+    key: jnp.ndarray
+    epoch: jnp.ndarray
+    lr: jnp.ndarray
+
+    def tree_flatten(self):
+        return tuple(getattr(self, f.name)
+                     for f in dataclasses.fields(self)), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        return cls(*ch)
+
+
+class V2PPPO:
+
+    def __init__(self, env: TennisEnv, cfg: V2PConfig = V2PConfig(),
+                 seed: int = 7):
+        self.env = env
+        self.cfg = cfg
+        self.num_actions = env.num_actions
+        self.obs_dim = env.obs_dim
+        self.net = V2PNet(num_actions=self.num_actions,
+                          actor_units=cfg.actor_units,
+                          critic_units=cfg.critic_units)
+        key = jax.random.PRNGKey(seed)
+        self._init_params = self.net.init(key, jnp.zeros((1, self.obs_dim)))
+        self.tx = optax.chain(optax.clip_by_global_norm(cfg.grad_norm),
+                              optax.scale_by_adam(eps=1e-8))
+        self.sigma = jnp.full((self.num_actions,), np.exp(cfg.sigma_init),
+                              jnp.float32)
+        self._key0 = key
+        nbatch = env.cfg.num_envs * cfg.horizon
+        assert nbatch % cfg.minibatch_size == 0
+        self.num_minibatches = nbatch // cfg.minibatch_size
+
+    def init_state(self) -> V2PTrainState:
+        k_env, key = jax.random.split(self._key0)
+        env_state, obs = self.env.reset_all(k_env)
+        params = jax.tree_util.tree_map(jnp.copy, self._init_params)
+        return V2PTrainState(
+            params=params, opt_state=self.tx.init(params),
+            obs_norm=RN.RunningNormState.create(self.obs_dim),
+            val_norm=RN.RunningNormState.create(1),
+            env_state=env_state, last_obs=obs, key=key,
+            epoch=jnp.zeros((), jnp.int32),
+            lr=jnp.asarray(self.cfg.learning_rate, jnp.float32))
+
+    def load_stage_checkpoint(self, path: str, discard_sigma: bool = True):
+        """Warm-start from a previous curriculum stage with zero-pad surgery
+        on grown obs/action dims (`v2p_agent.py:46-96`)."""
+        self._init_params = CK.load_pytree_with_surgery(path,
+                                                        self._init_params)
+
+    def save_checkpoint(self, path: str, ts: V2PTrainState):
+        CK.save_pytree(path, ts.params)
+
+    # -- forward ---------------------------------------------------------------
+
+    def _forward(self, params, obs_norm, obs):
+        obs_n = RN.normalize(obs_norm, obs, self.cfg.obs_clip)
+        return self.net.apply(params, obs_n)
+
+    # -- epoch -------------------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_epoch(self, ts: V2PTrainState
+                    ) -> Tuple[V2PTrainState, Dict[str, jnp.ndarray]]:
+        cfg = self.cfg
+        env = self.env
+        key, k_roll, k_shuffle = jax.random.split(ts.key, 3)
+
+        def step_fn(carry, t):
+            env_state, obs, key = carry
+            key, k = jax.random.split(key)
+            mu, v_norm = self._forward(ts.params, ts.obs_norm, obs)
+            value = RN.unnormalize_value(ts.val_norm, v_norm[:, None])[:, 0] \
+                if cfg.normalize_value else v_norm
+            action = mu + self.sigma[None] * jax.random.normal(k, mu.shape)
+            neglogp = diag_gaussian_neglogp(action, mu, self.sigma[None])
+
+            env_state2, out = env.step(env_state, action)
+            _, vn_next = self._forward(ts.params, ts.obs_norm, out.obs)
+            v_next = RN.unnormalize_value(ts.val_norm, vn_next[:, None])[:, 0] \
+                if cfg.normalize_value else vn_next
+            next_value = v_next * (1.0 - out.terminate.astype(jnp.float32))
+
+            store = dict(obs=obs, action=action, mu=mu, neglogp=neglogp,
+                         value=value, next_value=next_value,
+                         reward=out.reward,
+                         done=out.done.astype(jnp.float32),
+                         sub_rewards=out.sub_rewards)
+            return (env_state2, out.obs, key), store
+
+        (env_state, last_obs, _), traj = jax.lax.scan(
+            step_fn, (ts.env_state, ts.last_obs, k_roll),
+            jnp.arange(cfg.horizon))
+
+        # GAE (common_agent.py:423-435), done resets the accumulator
+        def gae_fn(lastgaelam, x):
+            reward, value, next_value, done = x
+            delta = reward + cfg.gamma * next_value - value
+            lastgaelam = delta + cfg.gamma * cfg.tau * (1.0 - done) * lastgaelam
+            return lastgaelam, lastgaelam
+
+        _, advs = jax.lax.scan(
+            gae_fn, jnp.zeros_like(traj["reward"][0]),
+            (traj["reward"], traj["value"], traj["next_value"],
+             traj["done"]), reverse=True)
+        returns = advs + traj["value"]
+
+        B = cfg.horizon * env.cfg.num_envs
+
+        def flat(x):
+            return x.reshape((B,) + x.shape[2:])
+
+        obs_f = flat(traj["obs"])
+        obs_norm_next = RN.update(ts.obs_norm, obs_f)  # effective next epoch
+        val_norm = RN.update(ts.val_norm, returns.reshape(-1, 1)) \
+            if cfg.normalize_value else ts.val_norm
+        ret_f = flat(returns)
+        ret_norm_f = RN.normalize_value(val_norm, ret_f[..., None])[..., 0] \
+            if cfg.normalize_value else ret_f
+
+        adv_f = flat(advs)
+        if cfg.normalize_advantage:
+            adv_f = (adv_f - adv_f.mean()) / (adv_f.std() + 1e-8)
+
+        batch_all = dict(obs=obs_f, action=flat(traj["action"]),
+                         old_mu=flat(traj["mu"]),
+                         old_neglogp=flat(traj["neglogp"]), adv=adv_f,
+                         return_norm=ret_norm_f)
+
+        def loss_fn(params, mb):
+            obs_n = RN.normalize(ts.obs_norm, mb["obs"], cfg.obs_clip)
+            mu, v_norm = self.net.apply(params, obs_n)
+            neglogp = diag_gaussian_neglogp(mb["action"], mu,
+                                            self.sigma[None])
+            ratio = jnp.exp(mb["old_neglogp"] - neglogp)
+            surr1 = mb["adv"] * ratio
+            surr2 = mb["adv"] * jnp.clip(ratio, 1.0 - cfg.e_clip,
+                                         1.0 + cfg.e_clip)
+            a_loss = jnp.maximum(-surr1, -surr2).mean()
+            c_loss = ((v_norm - mb["return_norm"]) ** 2).mean()
+            b_loss = ((jnp.clip(mu - 1.0, 0.0, None) ** 2
+                       + jnp.clip(mu + 1.0, None, 0.0) ** 2).sum(-1)).mean()
+            # aux: residual dof close to 0 (physics_mvae_controller.py:461-472)
+            nl = env.cfg.num_latents
+            aux = (mu[:, nl:nl + 3] ** 2).sum(-1).mean() \
+                if env.cfg.add_residual_dof else 0.0
+            loss = (a_loss + cfg.critic_coef * c_loss
+                    + cfg.bounds_loss_coef * b_loss
+                    + cfg.aux_dof_res_coef * aux)
+            kl = policy_kl(mu, self.sigma[None], mb["old_mu"],
+                           self.sigma[None]).mean()
+            return loss, dict(a_loss=a_loss, c_loss=c_loss, b_loss=b_loss,
+                              kl=kl)
+
+        mb_size = cfg.minibatch_size
+
+        def mini_epoch(carry, k):
+            params, opt_state, lr = carry
+            perm = jax.random.permutation(k, B)
+
+            def mb_step(carry, i):
+                params, opt_state, lr = carry
+                idx = jax.lax.dynamic_slice_in_dim(perm, i * mb_size,
+                                                   mb_size)
+                mb = {k2: v[idx] for k2, v in batch_all.items()}
+                (loss, stats), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params, mb)
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+                params = optax.apply_updates(params, updates)
+                if cfg.lr_schedule == "adaptive":
+                    kl = stats["kl"]
+                    lr = jnp.where(kl > 2.0 * cfg.kl_threshold,
+                                   jnp.maximum(lr / 1.5, cfg.min_lr),
+                                   jnp.where(kl < 0.5 * cfg.kl_threshold,
+                                             jnp.minimum(lr * 1.5, cfg.max_lr),
+                                             lr))
+                return (params, opt_state, lr), stats
+
+            (params, opt_state, lr), stats = jax.lax.scan(
+                mb_step, (params, opt_state, lr),
+                jnp.arange(self.num_minibatches))
+            return (params, opt_state, lr), stats
+
+        keys = jax.random.split(k_shuffle, cfg.mini_epochs)
+        (params, opt_state, lr), stats = jax.lax.scan(
+            mini_epoch, (ts.params, ts.opt_state, ts.lr), keys)
+
+        metrics = {k2: v.mean() for k2, v in stats.items()}
+        metrics["reward_mean"] = traj["reward"].mean()
+        metrics["episode_return"] = traj["reward"].sum(0).mean()
+        metrics["done_rate"] = traj["done"].mean()
+        subs = traj["sub_rewards"].mean((0, 1))
+        metrics["pos_reward"] = subs[0]
+        if subs.shape[-1] > 1:
+            metrics["ball_pos_reward"] = subs[1]
+        metrics["lr"] = lr
+
+        new_ts = V2PTrainState(
+            params=params, opt_state=opt_state, obs_norm=obs_norm_next,
+            val_norm=val_norm, env_state=env_state, last_obs=last_obs,
+            key=key, epoch=ts.epoch + 1, lr=lr)
+        return new_ts, metrics
