@@ -1,0 +1,104 @@
+"""Pallas op correctness: fused MoE blended linear vs jnp reference.
+
+On the CPU test mesh the public `moe_linear` wrapper dispatches to the jnp
+reference, so the kernel itself is exercised in Pallas interpret mode here.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vid2player3d_tpu.ops import moe_linear, moe_linear_ref
+from vid2player3d_tpu.ops.moe_linear import _moe_kernel
+
+
+def _rand(key, *shape):
+    return jax.random.normal(key, shape, jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def inputs():
+    k = jax.random.split(jax.random.PRNGKey(0), 4)
+    batch, d_in, d_out, experts = 64, 48, 40, 6
+    x = _rand(k[0], batch, d_in)
+    logits = _rand(k[1], batch, experts)
+    coeff = jax.nn.softmax(logits, axis=-1)
+    w = _rand(k[2], experts, d_in, d_out) * 0.1
+    b = _rand(k[3], experts, d_out) * 0.1
+    return x, coeff, w, b
+
+
+def test_ref_matches_dense_formula(inputs):
+    x, coeff, w, b = inputs
+    out = moe_linear_ref(x, coeff, w, b)
+    # direct per-sample formula
+    want = np.stack([
+        sum(float(coeff[i, e]) * (np.asarray(x[i]) @ np.asarray(w[e])
+                                  + np.asarray(b[e]))
+            for e in range(w.shape[0]))
+        for i in range(x.shape[0])
+    ])
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-4)
+
+
+def test_kernel_interpret_matches_ref(inputs):
+    x, coeff, w, b = inputs
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    tile_b = 32
+    batch, d_in = x.shape
+    experts, _, d_out = w.shape
+    out = pl.pallas_call(
+        _moe_kernel,
+        grid=(batch // tile_b,),
+        in_specs=[
+            pl.BlockSpec((tile_b, d_in), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, experts), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((experts, d_in, d_out), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((experts, d_out), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_b, d_out), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((batch, d_out), x.dtype),
+        scratch_shapes=[pltpu.VMEM((tile_b, d_out), jnp.float32)],
+        interpret=True,
+    )(x, coeff, w, b)
+    want = moe_linear_ref(x, coeff, w, b)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_custom_vjp_backward_matches_autodiff(inputs):
+    """The TPU kernel's hand-written backward must equal autodiff of the
+    reference (on CPU the public wrapper dispatches to the reference, so the
+    bwd rule is checked directly here)."""
+    from vid2player3d_tpu.ops.moe_linear import _moe_bwd
+
+    x, coeff, w, b = inputs
+    out = moe_linear_ref(x, coeff, w, b)
+    g = jnp.ones_like(out) * 0.5
+
+    got = _moe_bwd(32, (x, coeff, w, b), g)
+    _, pullback = jax.vjp(moe_linear_ref, x, coeff, w, b)
+    want = pullback(g)
+    for gg, wgt in zip(got, want):
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(wgt),
+                                   rtol=1e-3, atol=1e-3)
+
+
+def test_public_wrapper_runs_and_differentiates(inputs):
+    x, coeff, w, b = inputs
+
+    def loss(x, coeff, w, b):
+        return jnp.sum(moe_linear(x, coeff, w, b) ** 2)
+
+    val, grads = jax.value_and_grad(loss, argnums=(0, 2))(x, coeff, w, b)
+    assert np.isfinite(float(val))
+    for g in grads:
+        assert np.all(np.isfinite(np.asarray(g)))

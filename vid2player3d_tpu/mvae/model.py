@@ -7,9 +7,10 @@ TPU-native re-design of the reference's EA character-motion-vaes zoo
   every hidden layer (reference `model.py:143-147`).
 - `MoEDecoder`: a gating MLP produces softmax expert coefficients; each layer
   blends per-expert weight matrices with the coefficients and applies the
-  blended matrix (reference `model.py:237-250` uses `baddbmm`). Here the blend
-  and apply are two einsums — `be,eio->bio` then `bi,bio->bo` — which XLA maps
-  straight onto the MXU as batched matmuls; bf16-friendly and fully fused.
+  blended matrix (reference `model.py:237-250` uses `baddbmm`). Here the
+  blend+apply is the fused `ops.moe_linear` Pallas kernel on TPU (expert
+  matrices resident in VMEM, batch tiles streamed through the MXU with no HBM
+  intermediates); pure-jnp apply-then-blend elsewhere.
 - `PoseMixtureVAE` ties them together (reference `model.py:255-297`).
 
 Latent size 32, hidden 256, 6 experts by default (reference
@@ -56,10 +57,10 @@ class MoELayer(nn.Module):
                        (self.num_experts, self.in_size, self.out_size))
         b = self.param("b", nn.initializers.constant(0.01),
                        (self.num_experts, self.out_size))
-        # blend experts per sample, then apply: both land on the MXU
-        mixed_w = jnp.einsum("be,eio->bio", coeff, w)
-        mixed_b = coeff @ b
-        return jnp.einsum("bi,bio->bo", h, mixed_w) + mixed_b
+        # fused Pallas kernel on TPU (expert matrices resident in VMEM, batch
+        # tiles streamed, zero HBM intermediates); jnp fallback elsewhere
+        from vid2player3d_tpu.ops import moe_linear
+        return moe_linear(h, coeff, w, b)
 
 
 class MoEDecoder(nn.Module):
