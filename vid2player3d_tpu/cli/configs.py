@@ -1,0 +1,180 @@
+"""Named run configurations mirroring the reference's YAML trees.
+
+Each entry reproduces the behaviorally load-bearing values of one reference
+config (SURVEY.md §2.6); the reference file is cited on each entry. Values that
+exist only to work around Isaac Gym (PhysX solver iteration counts, GPU pipeline
+toggles) are intentionally absent — the TPU engine has its own `substeps` knob.
+
+CLI overrides (`--num_envs`, `--seed`, ...) are applied by `cli.run` via
+`dataclasses.replace`, replacing the reference's argparse/YAML mutation dance
+(`embodied_pose/utils/config.py:60-187`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+from ..envs.humanoid_im import HumanoidImConfig
+from ..envs.tennis import TennisConfig
+from ..learn.ppo import PPOConfig
+from ..learn.v2p_ppo import V2PConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class RunConfig:
+    name: str
+    kind: str                      # "im" | "tennis" | "mvae"
+    description: str = ""
+    env_im: Optional[HumanoidImConfig] = None
+    ppo: Optional[PPOConfig] = None
+    env_tennis: Optional[TennisConfig] = None
+    v2p: Optional[V2PConfig] = None
+    mvae_version: Optional[str] = None
+    # warm start from a previous curriculum stage (with dim surgery)
+    warm_start: Optional[str] = None       # config name whose checkpoint to load
+    discard_pretrained_sigma: bool = False
+    max_epochs: int = 100000
+    seed: int = 0
+    player: str = "federer"
+    dual: bool = False
+
+
+def _im(name, desc, env, ppo, **kw) -> RunConfig:
+    return RunConfig(name=name, kind="im", description=desc, env_im=env,
+                     ppo=ppo, **kw)
+
+
+def _tennis(name, desc, env, v2p, **kw) -> RunConfig:
+    return RunConfig(name=name, kind="tennis", description=desc,
+                     env_tennis=env, v2p=v2p, **kw)
+
+
+CONFIGS = {}
+
+
+def _register(cfg: RunConfig) -> RunConfig:
+    CONFIGS[cfg.name] = cfg
+    return cfg
+
+
+# ---- low-level imitation (embodied_pose/cfg/*.yaml) --------------------------
+
+_register(_im(
+    "amass_im",
+    "Stage-1 low-level imitation on AMASS (embodied_pose/cfg/amass_im.yaml)",
+    HumanoidImConfig(num_envs=8192, substeps=2, state_init="Hybrid",
+                     hybrid_init_prob=1.0, context_length=32,
+                     context_padding=8, residual_force_scale=31.85,
+                     termination_head_height=1.0),
+    PPOConfig(horizon=32, mini_epochs=6, minibatch_size=512,
+              learning_rate=2e-5, gamma=0.99, tau=0.95, e_clip=0.2,
+              critic_coef=5.0, grad_norm=50.0, sigma_init=-1.756,
+              normalize_value=True),
+))
+
+_register(_im(
+    "djokovic_im",
+    "Stage-2 fine-tune on player tennis motion; head termination disabled, "
+    "warm start from amass_im (embodied_pose/cfg/djokovic_im.yaml:114)",
+    HumanoidImConfig(num_envs=8192, substeps=2, state_init="Hybrid",
+                     hybrid_init_prob=1.0,
+                     termination_head_height=-0.5),   # disabled (`djokovic_im.yaml`)
+    PPOConfig(horizon=32, mini_epochs=6, minibatch_size=512,
+              learning_rate=1e-5, sigma_init=-1.756, critic_coef=5.0,
+              grad_norm=50.0),
+    warm_start="amass_im", player="djokovic",
+))
+
+for _p in ("federer", "nadal"):
+    _register(dataclasses.replace(CONFIGS["djokovic_im"], name=f"{_p}_im",
+                                  player=_p))
+
+
+# ---- high-level curriculum (vid2player/cfg/controller/*.yaml) ----------------
+
+_STAGE1_ENV = TennisConfig(
+    num_envs=10240, substeps=2, max_episode_length=600,
+    reward_type="reach", use_random_ball_target="discrete",
+    reset_reaction_nframes=70)
+
+_register(_tennis(
+    "federer_train_stage_1",
+    "High-level stage 1: reach reward, discrete targets "
+    "(federer_train_stage_1.yaml)",
+    _STAGE1_ENV,
+    V2PConfig(horizon=64, minibatch_size=16384, mini_epochs=6,
+              learning_rate=1e-4, sigma_init=-0.69, bounds_loss_coef=10.0,
+              critic_coef=5.0, grad_norm=50.0),
+))
+
+_register(_tennis(
+    "federer_train_stage_2",
+    "High-level stage 2: return_w_estimate reward, 6 substeps, warm start "
+    "stage 1 (federer_train_stage_2.yaml)",
+    dataclasses.replace(_STAGE1_ENV, num_envs=15360, substeps=6,
+                        max_episode_length=300,
+                        reward_type="return_w_estimate",
+                        reward_weights=(("pos", 0.1), ("ball_pos", 0.9))),
+    V2PConfig(horizon=32, minibatch_size=16384, mini_epochs=6,
+              learning_rate=2e-5, sigma_init=-0.69, bounds_loss_coef=10.0),
+    warm_start="federer_train_stage_1", discard_pretrained_sigma=True,
+))
+
+_register(_tennis(
+    "federer_train_stage_3",
+    "High-level stage 3: continuous bounce targets + bounce pos/time reward "
+    "(federer_train_stage_3.yaml)",
+    dataclasses.replace(
+        CONFIGS["federer_train_stage_2"].env_tennis,
+        use_random_ball_target="continuous",
+        reward_scales=(("pos", 5.0), ("phase", 10.0), ("bounce_pos", 1.0),
+                       ("bounce_time", 0.5))),
+    dataclasses.replace(CONFIGS["federer_train_stage_2"].v2p,
+                        learning_rate=1e-5, sigma_init=-2.9),
+    warm_start="federer_train_stage_2", discard_pretrained_sigma=True,
+))
+
+for _p in ("federer", "djokovic", "nadal"):
+    # inference/demo configs = stage-3 semantics at 30720 envs (`federer.yaml`)
+    _register(_tennis(
+        _p,
+        f"Inference/demo config for {_p} ({_p}.yaml)",
+        dataclasses.replace(CONFIGS["federer_train_stage_3"].env_tennis,
+                            num_envs=30720),
+        CONFIGS["federer_train_stage_3"].v2p,
+        warm_start="federer_train_stage_3", player=_p,
+    ))
+    if _p != "federer":
+        for _s in (1, 2, 3):
+            base = CONFIGS[f"federer_train_stage_{_s}"]
+            _register(dataclasses.replace(base, name=f"{_p}_train_stage_{_s}",
+                                          player=_p))
+
+# dual-player rally configs (federer_djokovic.yaml, nadal_federer.yaml)
+for _pair in (("federer", "djokovic"), ("nadal", "federer")):
+    _register(_tennis(
+        f"{_pair[0]}_{_pair[1]}",
+        f"Dual-player rally: {_pair[0]} (near) vs {_pair[1]} (far) "
+        f"({_pair[0]}_{_pair[1]}.yaml)",
+        dataclasses.replace(CONFIGS["federer_train_stage_3"].env_tennis,
+                            num_envs=15360),
+        CONFIGS["federer_train_stage_3"].v2p,
+        player=_pair[0], dual=True,
+    ))
+
+
+# ---- MVAE (vid2player/motion_vae/config.py) ----------------------------------
+
+for _p in ("federer", "djokovic", "nadal"):
+    _register(RunConfig(name=f"mvae_{_p}", kind="mvae",
+                        description=f"MotionVAE training for {_p} "
+                        "(motion_vae/config.py versions)",
+                        mvae_version=_p, player=_p))
+
+
+def get_config(name: str) -> RunConfig:
+    if name not in CONFIGS:
+        raise KeyError(
+            f"unknown config '{name}'; available: {sorted(CONFIGS)}")
+    return CONFIGS[name]

@@ -1,0 +1,241 @@
+"""Training / evaluation entry point (reference `embodied_pose/run.py` +
+`vid2player/run.py` + `motion_vae/train.py`, unified).
+
+    python -m vid2player3d_tpu --cfg amass_im [--num_envs N] [--epochs E]
+        [--seed S] [--checkpoint PATH] [--motion_file PATH] [--out DIR]
+        [--n_devices D] [--test]
+
+Training writes `metrics.jsonl` (one JSON line per epoch — the TPU-native
+replacement for the reference's tensorboard `SummaryWriter`) and periodic
+`latest.npz` / `best.npz` checkpoints into `--out`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+from typing import Optional
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="vid2player3d_tpu",
+                                description=__doc__.split("\n")[0])
+    p.add_argument("--cfg", required=True, help="named config (see cli.configs)")
+    p.add_argument("--test", action="store_true",
+                   help="evaluation mode: deterministic rollouts + metrics")
+    p.add_argument("--num_envs", type=int, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--horizon", type=int, default=None)
+    p.add_argument("--minibatch_size", type=int, default=None)
+    p.add_argument("--checkpoint", default=None,
+                   help="checkpoint to load (overrides the config's warm start)")
+    p.add_argument("--motion_file", default=None,
+                   help="MotionLib .npz for imitation configs (default: synthetic)")
+    p.add_argument("--out", default="results",
+                   help="output dir for checkpoints + metrics.jsonl")
+    p.add_argument("--n_devices", type=int, default=None,
+                   help="data-parallel mesh size (default: no mesh)")
+    p.add_argument("--save_every", type=int, default=50)
+    return p
+
+
+class MetricsLogger:
+    """One JSON line per epoch; console summary with fps + ETA (reference
+    `im_agent.py:211-218` console lines, `common_agent.py:541-554` tb logs)."""
+
+    def __init__(self, out_dir: str, max_epochs: int):
+        os.makedirs(out_dir, exist_ok=True)
+        self.path = os.path.join(out_dir, "metrics.jsonl")
+        self._f = open(self.path, "a")
+        self.t0 = time.time()
+        self.max_epochs = max_epochs
+
+    def log(self, epoch: int, metrics: dict, env_steps: int) -> None:
+        row = {"epoch": epoch,
+               **{k: float(v) for k, v in metrics.items()},
+               "wall_s": round(time.time() - self.t0, 2)}
+        self._f.write(json.dumps(row) + "\n")
+        self._f.flush()
+        dt = row["wall_s"] / max(epoch, 1)
+        fps = env_steps * epoch / max(row["wall_s"], 1e-6)
+        eta = dt * (self.max_epochs - epoch)
+        print(f"epoch {epoch}/{self.max_epochs} "
+              f"reward {row.get('reward_mean', float('nan')):.4f} "
+              f"fps {fps:,.0f} eta {eta / 60:.1f}m", flush=True)
+
+
+def _mesh(args):
+    if args.n_devices is None:
+        return None
+    from vid2player3d_tpu import parallel
+
+    parallel.initialize_distributed()
+    return parallel.data_parallel_mesh(args.n_devices)
+
+
+def _build_im(run_cfg, args):
+    from vid2player3d_tpu.data.motion_lib import MotionLib
+    from vid2player3d_tpu.data.synthetic import make_synthetic_motion_lib
+    from vid2player3d_tpu.envs import HumanoidImEnv
+    from vid2player3d_tpu.learn import ImitationPPO
+
+    env_cfg, ppo_cfg = run_cfg.env_im, run_cfg.ppo
+    if args.num_envs:
+        env_cfg = dataclasses.replace(env_cfg, num_envs=args.num_envs)
+    for f in ("horizon", "minibatch_size"):
+        if getattr(args, f):
+            ppo_cfg = dataclasses.replace(ppo_cfg, **{f: getattr(args, f)})
+    if args.motion_file:
+        lib = MotionLib.load(args.motion_file)
+    else:
+        print("NOTE: no --motion_file; using synthetic motions (the reference "
+              "ships no AMASS data either, README.md:83)")
+        lib = make_synthetic_motion_lib(num_motions=8, T=120, fps=30.0,
+                                        seed=run_cfg.seed)
+    mesh = _mesh(args)
+    env = HumanoidImEnv(env_cfg, lib, rng=args.seed or run_cfg.seed)
+    if mesh is not None:
+        env = env.shard(mesh)
+    agent = ImitationPPO(env, ppo_cfg, seed=args.seed or run_cfg.seed,
+                         mesh=mesh)
+    return agent
+
+
+def _build_tennis(run_cfg, args):
+    import jax
+    import numpy as np
+
+    from vid2player3d_tpu.envs import TennisEnv
+    from vid2player3d_tpu.learn import V2PPPO
+    from vid2player3d_tpu.tennis import player as P
+    from vid2player3d_tpu.tennis.ball import TennisBallGenerator
+
+    env_cfg, v2p_cfg = run_cfg.env_tennis, run_cfg.v2p
+    if args.num_envs:
+        env_cfg = dataclasses.replace(env_cfg, num_envs=args.num_envs)
+    for f in ("horizon", "minibatch_size"):
+        if getattr(args, f):
+            v2p_cfg = dataclasses.replace(v2p_cfg, **{f: getattr(args, f)})
+
+    seed = args.seed or run_cfg.seed
+    mvae_path = os.path.join(args.out, f"mvae_{run_cfg.player}")
+    spec = _load_mvae_spec(mvae_path, run_cfg.player, seed)
+    rng = np.random.default_rng(seed)
+    feats = (rng.standard_normal((64, P.FRAME_SIZE)) * 0.05).astype(np.float32)
+    feats[:, 2] = 0.95
+    if run_cfg.dual:
+        from vid2player3d_tpu.envs.tennis_dual import DualTennisEnv
+
+        env = DualTennisEnv(env_cfg, spec, feats,
+                            ball_generator=TennisBallGenerator())
+        agent = V2PPPO(env, v2p_cfg, seed=seed)
+    else:
+        env = TennisEnv(env_cfg, spec, feats,
+                        ball_generator=TennisBallGenerator())
+        agent = V2PPPO(env, v2p_cfg, seed=seed)
+    return agent
+
+
+def _load_mvae_spec(mvae_dir: str, player: str, seed: int):
+    """Use a trained MVAE checkpoint when present, otherwise a random spec
+    (the reference demo likewise cannot ship trained MVAEs, README.md:13)."""
+    import jax
+
+    from vid2player3d_tpu.tennis import player as P
+
+    meta = os.path.join(mvae_dir, "latest.npz")
+    if os.path.exists(meta):
+        from vid2player3d_tpu.mvae import MVAEOption, MVAETrainer, \
+            make_synthetic_pose_dataset
+
+        opt = MVAEOption.load(player)
+        ds = make_synthetic_pose_dataset(opt)
+        tr = MVAETrainer(opt, ds)
+        tr.load_checkpoint(os.path.join(mvae_dir, "latest"))
+        return P.spec_from_trainer(tr, player=player)
+    print(f"NOTE: no trained MVAE at {meta}; using a random spec")
+    return P.make_random_spec(jax.random.PRNGKey(seed), player=player)
+
+
+def _train_loop(agent, run_cfg, args, logger):
+    best = float("-inf")
+    ts = agent.init_state()
+    env_steps = agent.env.cfg.num_envs * agent.cfg.horizon
+    epochs = args.epochs or run_cfg.max_epochs
+    for e in range(1, epochs + 1):
+        ts, metrics = agent.train_epoch(ts)
+        logger.log(e, metrics, env_steps)
+        r = float(metrics.get("reward_mean", 0.0))
+        if e % args.save_every == 0 or e == epochs:
+            agent.save_checkpoint(os.path.join(args.out, "latest.npz"), ts)
+        if r > best:
+            best = r
+            agent.save_checkpoint(os.path.join(args.out, "best.npz"), ts)
+    return ts
+
+
+def _eval_loop(agent, run_cfg, args):
+    """Deterministic evaluation: report reward / behavioral stats
+    (reference `--test` players, `mvae_controller_vis.py:81-95`)."""
+    from vid2player3d_tpu.eval import evaluate
+
+    report = evaluate(agent, num_epochs=args.epochs or 5)
+    print(json.dumps(report, indent=2))
+    return report
+
+
+def main(argv: Optional[list] = None) -> int:
+    args = build_parser().parse_args(argv)
+    from vid2player3d_tpu.cli.configs import get_config
+
+    run_cfg = get_config(args.cfg)
+    os.makedirs(args.out, exist_ok=True)
+
+    if run_cfg.kind == "mvae":
+        from vid2player3d_tpu.mvae import MVAEOption, MVAETrainer, \
+            make_synthetic_pose_dataset
+
+        opt = MVAEOption.load(run_cfg.mvae_version)
+        if args.seed is not None:
+            opt.seed = args.seed
+        ds = make_synthetic_pose_dataset(opt)
+        trainer = MVAETrainer(opt, ds)
+        trainer.checkpoint_dir = args.out
+        epochs = args.epochs or (opt.n_epochs + opt.n_epochs_decay)
+        logger = MetricsLogger(args.out, epochs)
+        for e in range(1, epochs + 1):
+            m = trainer.train_epoch()
+            logger.log(e, m, 0)
+            if e % args.save_every == 0 or e == epochs:
+                trainer.save_checkpoint("latest")
+        return 0
+
+    agent = _build_im(run_cfg, args) if run_cfg.kind == "im" \
+        else _build_tennis(run_cfg, args)
+
+    ck = args.checkpoint
+    if ck is None and run_cfg.warm_start:
+        cand = os.path.join(args.out, run_cfg.warm_start, "best.npz")
+        ck = cand if os.path.exists(cand) else None
+    if ck:
+        if run_cfg.kind == "im":
+            agent.load_checkpoint(ck)
+        else:
+            agent.load_stage_checkpoint(
+                ck, discard_sigma=run_cfg.discard_pretrained_sigma)
+
+    if args.test:
+        _eval_loop(agent, run_cfg, args)
+        return 0
+
+    logger = MetricsLogger(args.out, args.epochs or run_cfg.max_epochs)
+    _train_loop(agent, run_cfg, args, logger)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

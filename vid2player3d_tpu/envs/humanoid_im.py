@@ -176,21 +176,16 @@ class HumanoidImEnv:
         """
         import copy
 
-        from jax.sharding import NamedSharding, PartitionSpec
-
-        def put_env(x):
-            spec = PartitionSpec(*((axis,) + (None,) * (x.ndim - 1)))
-            return jax.device_put(x, NamedSharding(mesh, spec))
-
-        def put_rep(x):
-            return jax.device_put(x, NamedSharding(mesh, PartitionSpec()))
+        from vid2player3d_tpu import parallel
 
         env = copy.copy(self)
-        env.motion_ids = put_env(self.motion_ids)
-        env.motion_bodies = put_env(self.motion_bodies)
-        env.model = jax.tree_util.tree_map(put_env, self.model)
-        env.termination_heights = put_rep(self.termination_heights)
-        env.lib = jax.tree_util.tree_map(put_rep, self.lib)
+        env.motion_ids = parallel.shard_leading_axis(self.motion_ids, mesh, axis)
+        env.motion_bodies = parallel.shard_leading_axis(self.motion_bodies,
+                                                        mesh, axis)
+        env.model = parallel.shard_leading_axis(self.model, mesh, axis)
+        env.termination_heights = parallel.replicate(self.termination_heights,
+                                                     mesh)
+        env.lib = parallel.replicate(self.lib, mesh)
         return env
 
     # -- helpers --------------------------------------------------------------

@@ -1,0 +1,170 @@
+"""Evaluation & rollout-export suite (reference test-time players +
+`mvae_controller_vis.py:81-95` behavioral stats).
+
+`evaluate(agent)` runs deterministic (mu-action) rollouts and reports:
+
+- imitation agents: reward mean, sub-rewards (dof/vel/pos/rot tracking),
+  alive ratio (reference `common_player.py:116-132`, `im_agent.py:236-238`)
+- tennis agents: hit rate, bounce-in rate, bounce position error, forehand
+  ratio — computed per finished episode (reference accumulates per swing
+  cycle, `mvae_controller_vis.py:81-95`)
+
+`export_rollout(agent, path)` dumps a host-side npz with per-frame root /
+joint / ball / racket state — the data contract for any offline visualizer
+(replacing the vtk/scenepic `smpl_visualizer` render path, which is out of
+the perf-critical scope; SURVEY.md §2.1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def evaluate(agent, num_epochs: int = 5, steps_per_epoch: Optional[int] = None
+             ) -> Dict[str, float]:
+    from vid2player3d_tpu.learn.ppo import ImitationPPO
+    from vid2player3d_tpu.learn.v2p_ppo import V2PPPO
+
+    if isinstance(agent, ImitationPPO):
+        return eval_imitation(agent, num_rollouts=num_epochs)
+    if isinstance(agent, V2PPPO):
+        return eval_tennis(agent, num_steps=(steps_per_epoch or 64) * num_epochs)
+    raise TypeError(f"don't know how to evaluate {type(agent)}")
+
+
+# ---- imitation ----------------------------------------------------------------
+
+def eval_imitation(agent, num_rollouts: int = 5) -> Dict[str, float]:
+    """Deterministic rollouts of the imitation policy; aggregates the same
+    sub-reward decomposition the trainer logs (`humanoid_smpl_im.py:918-953`)."""
+    env = agent.env
+    ts = agent.init_state()
+    horizon = agent.cfg.horizon
+
+    @jax.jit
+    def rollout(key):
+        env_state, raw_obs, ctx = env.reset_all(key)
+        ctx_feat = ctx["feat"]
+
+        def step_fn(carry, t):
+            env_state, raw_obs = carry
+            _, _, mu, _, _ = agent._forward(env, ts.params, ts.obs_norm,
+                                            raw_obs, ctx_feat, t)
+            alive = (env_state.reset_buf == 0).astype(jnp.float32)
+            env_state2, out = env.step(env_state, mu)
+            return (env_state2, out.obs), (out.reward, alive, out.sub_rewards)
+
+        _, (rew, alive, subs) = jax.lax.scan(
+            step_fn, (env_state, raw_obs), jnp.arange(horizon))
+        return rew, alive, subs
+
+    keys = jax.random.split(jax.random.PRNGKey(1234), num_rollouts)
+    rews, alives, subss = [], [], []
+    for k in keys:
+        r, a, s = rollout(k)
+        rews.append(np.asarray(r)), alives.append(np.asarray(a))
+        subss.append(np.asarray(s))
+    rew = np.concatenate(rews)      # (R*T, N)
+    alive = np.concatenate(alives)
+    subs = np.concatenate(subss)    # (R*T, N, 4)
+    denom = max(alive.sum(), 1.0)
+    report = {
+        "reward_mean": float((rew * alive).sum() / denom),
+        "alive_ratio": float(alive.mean()),
+    }
+    for i, name in enumerate(("r_dof", "r_vel", "r_pos", "r_rot")):
+        if i < subs.shape[-1]:
+            report[name] = float((subs[..., i] * alive).sum() / denom)
+    return report
+
+
+# ---- tennis --------------------------------------------------------------------
+
+def eval_tennis(agent, num_steps: int = 300) -> Dict[str, float]:
+    """Deterministic high-level policy rollout; per-episode behavioral stats
+    measured at episode end (done), matching `mvae_controller_vis.py:81-95`:
+    hit rate, bounce-in rate, bounce position error, forehand ratio."""
+    env = agent.env
+    ts = agent.init_state()
+
+    @jax.jit
+    def run(state, obs):
+        def step_fn(carry, _):
+            state, obs = carry
+            mu, _ = agent._forward(ts.params, ts.obs_norm, obs)
+            state2, out = env.step(state, mu)
+            rec = dict(done=out.done,
+                       contact=state2.has_contact,
+                       bounce_in=state2.bounce_in,
+                       bounce_err=jnp.linalg.norm(
+                           state2.bounce_pos[:, :2]
+                           - state2.target_bounce[:, :2], axis=-1),
+                       swing=state2.mvae.swing_type_cycle,
+                       reward=out.reward)
+            return (state2, out.obs), rec
+
+        return jax.lax.scan(step_fn, (state, obs), None, length=num_steps)
+
+    key = jax.random.PRNGKey(4321)
+    state, obs = env.reset_all(key)
+    (_, _), rec = run(state, obs)
+    rec = {k: np.asarray(v) for k, v in rec.items()}
+
+    done = rec["done"].astype(bool)
+    n_ep = max(int(done.sum()), 1)
+    hit = rec["contact"][done]
+    b_in = rec["bounce_in"][done]
+    fh = rec["swing"][done] == 1
+    bh = rec["swing"][done] == 2
+    err = rec["bounce_err"][done][rec["bounce_in"][done].astype(bool)]
+    return {
+        "episodes": int(done.sum()),
+        "hit_rate": float(hit.mean()) if n_ep else 0.0,
+        "bounce_in_rate": float(b_in.mean()) if n_ep else 0.0,
+        "bounce_pos_error": float(err.mean()) if err.size else float("nan"),
+        "fh_ratio": float(fh.sum() / max(fh.sum() + bh.sum(), 1)),
+        "reward_mean": float(rec["reward"].mean()),
+    }
+
+
+# ---- rollout export --------------------------------------------------------------
+
+def export_rollout(agent, path: str, num_steps: int = 150) -> str:
+    """Dump a deterministic rollout as npz for offline visualization
+    (per-frame kinematics — the reference's vis stack renders exactly these
+    quantities via smpl_visualizer, `mvae_controller_vis.py:97-242`)."""
+    from vid2player3d_tpu.learn.v2p_ppo import V2PPPO
+
+    if not isinstance(agent, V2PPPO):
+        raise TypeError("rollout export currently targets tennis agents")
+    env = agent.env
+    ts = agent.init_state()
+
+    @jax.jit
+    def run(state, obs):
+        def step_fn(carry, _):
+            state, obs = carry
+            mu, _ = agent._forward(ts.params, ts.obs_norm, obs)
+            state2, out = env.step(state, mu)
+            rec = dict(root_pos=state2.mvae.root_pos,
+                       joint_rotmat=state2.mvae.joint_rotmat,
+                       ball_pos=state2.ball_pos,
+                       racket_pos=state2.racket_pos,
+                       racket_normal=state2.racket_normal,
+                       sim_root_pos=state2.sim.root_pos,
+                       sim_root_quat=state2.sim.root_quat,
+                       sim_joint_quat=state2.sim.joint_quat,
+                       done=out.done)
+            return (state2, out.obs), rec
+
+        return jax.lax.scan(step_fn, (state, obs), None, length=num_steps)
+
+    state, obs = env.reset_all(jax.random.PRNGKey(7))
+    _, rec = run(state, obs)
+    np.savez_compressed(path, **{k: np.asarray(v) for k, v in rec.items()})
+    return path

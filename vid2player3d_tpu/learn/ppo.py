@@ -139,14 +139,35 @@ class ImitationPPO:
             f"batch {nbatch} not divisible by minibatch {cfg.minibatch_size}"
         self.num_minibatches = nbatch // cfg.minibatch_size
 
+    def save_checkpoint(self, path: str, ts: TrainState) -> None:
+        """Persist policy + running normalizers (reference rl_games .pth holds
+        model weights and running stats, `im_agent.py:255-266`)."""
+        from ..utils import checkpoint as CK
+
+        CK.save_pytree(path, {"params": ts.params, "obs_norm": ts.obs_norm,
+                              "val_norm": ts.val_norm})
+
+    def load_checkpoint(self, path: str) -> None:
+        """Warm start: load params + running stats into the init template
+        (optimizer state restarts fresh, as the reference's `--resume` path
+        re-creates the Adam state; stats migration per `im_agent.py:141-155`)."""
+        from ..utils import checkpoint as CK
+
+        like = {"params": self._init.params, "obs_norm": self._init.obs_norm,
+                "val_norm": self._init.val_norm}
+        loaded = CK.load_pytree_with_surgery(path, like)
+        self._init = dataclasses.replace(
+            self._init, params=loaded["params"], obs_norm=loaded["obs_norm"],
+            val_norm=loaded["val_norm"])
+
     def init_state(self) -> TrainState:
         # fresh buffers every call: train_epoch donates its input state, so the
         # cached template must never be handed out by reference
         ts = jax.tree_util.tree_map(jnp.copy, self._init)
         if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
+            from vid2player3d_tpu import parallel
 
-            ts = jax.device_put(ts, NamedSharding(self.mesh, PartitionSpec()))
+            ts = parallel.replicate(ts, self.mesh)
         return ts
 
     # -- policy forward -------------------------------------------------------
