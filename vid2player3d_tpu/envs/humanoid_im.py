@@ -31,6 +31,7 @@ from ..core import smpl as S
 from ..data import motion_lib as ML
 from ..physics import asset, engine
 from ..physics.model import ArticulationModel, ArticulationState, ContactParams
+from . import corrupt
 from .obs import compute_imitation_obs, dof_to_obs
 
 
@@ -57,6 +58,8 @@ class HumanoidImConfig:
     reward_specs: Tuple[Tuple[str, float], ...] = (
         ("k_dof", 60.0), ("k_vel", 0.2), ("k_pos", 100.0), ("k_rot", 40.0),
         ("w_dof", 0.6), ("w_vel", 0.1), ("w_pos", 0.2), ("w_rot", 0.1))
+    # context corruption (`humanoid_smpl_im.py:565-592`); None = clean context
+    transform_specs: Optional["corrupt.TransformSpecs"] = None
 
     @property
     def res_torque_scale(self) -> float:
@@ -255,10 +258,10 @@ class HumanoidImEnv:
             motion_times=motion_times,
         )
         obs = self._raw_obs(sim)
-        context = self.init_context(motion_times)
+        context = self.init_context(motion_times, key=k_hybrid)
         return state, obs, context
 
-    def init_context(self, motion_times) -> Dict[str, jnp.ndarray]:
+    def init_context(self, motion_times, key=None) -> Dict[str, jnp.ndarray]:
         """Motion-context window (`humanoid_smpl_im.py:530-563`): frames at
         motion_times + dt + dt·[-pad, L+pad), features
         [body_pos, body_rot, dof_pos, body_pos_gt, dof_pos_gt]."""
@@ -277,11 +280,23 @@ class HumanoidImEnv:
         rb_pos = st["rb_pos"].reshape(N, L, -1)
         rb_rot = st["rb_rot"].reshape(N, L, -1)
         dof = st["dof_pos"].reshape(N, L, -1)
-        feat = jnp.concatenate([rb_pos, rb_rot, dof, rb_pos, dof], axis=-1)
+
+        # observed channel may be corrupted (`_transform_target`); the last
+        # two feature blocks stay ground-truth for the aux supervised losses
+        # (`humanoid_smpl_im.py:694-722`)
+        obs_pos = rb_pos
+        conf = jnp.ones((N, L, 24), rb_pos.dtype)
+        if cfg.transform_specs is not None and cfg.transform_specs.active:
+            ck = key if key is not None else jax.random.PRNGKey(0)
+            obs_pos, conf = corrupt.corrupt_body_pos(
+                ck, rb_pos.reshape(N, L, 24, 3), cfg.transform_specs)
+            obs_pos = obs_pos.reshape(N, L, -1)
+
+        feat = jnp.concatenate([obs_pos, rb_rot, dof, rb_pos, dof], axis=-1)
 
         lens = self.lib.motion_lengths[self.motion_ids]
         mask = all_times <= (lens + 2 * cfg.control_dt)[:, None]
-        return {"feat": feat, "mask": mask}
+        return {"feat": feat, "mask": mask, "conf": conf}
 
     # -- step -----------------------------------------------------------------
 
