@@ -1,0 +1,74 @@
+"""Domain randomization: distributions, operations, schedules, model pytree."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vid2player3d_tpu.envs.domain_rand import DomainRandomizer, RandSpec
+from vid2player3d_tpu.physics import asset
+
+
+@pytest.fixture(scope="module")
+def model():
+    from vid2player3d_tpu.core.smpl import make_synthetic_smpl
+    smpl = make_synthetic_smpl()
+    return asset.build_humanoid_model(smpl, np.zeros((8, 10), np.float32))
+
+
+def test_scaling_mass(model):
+    dr = DomainRandomizer([RandSpec("body_mass", "uniform", (0.8, 1.2),
+                                    "scaling")])
+    m2 = dr.randomize_model(jax.random.PRNGKey(0), model)
+    ratio = np.asarray(m2.body_mass / model.body_mass)
+    assert (ratio >= 0.8 - 1e-6).all() and (ratio <= 1.2 + 1e-6).all()
+    assert ratio.std() > 0.0
+    # per-env draws: constant within an env (broadcast over bodies)
+    assert np.allclose(ratio, ratio[:, :1])
+    # untouched fields unchanged
+    np.testing.assert_array_equal(np.asarray(m2.kp), np.asarray(model.kp))
+
+
+def test_additive_gaussian_and_loguniform(model):
+    dr = DomainRandomizer([
+        RandSpec("kp", "gaussian", (0.0, 0.5), "additive"),
+        RandSpec("contact_radius", "loguniform", (0.9, 1.1), "scaling"),
+    ])
+    m2 = dr.randomize_model(jax.random.PRNGKey(1), model)
+    assert not np.allclose(np.asarray(m2.kp), np.asarray(model.kp))
+    r = np.asarray(m2.contact_radius / model.contact_radius)
+    assert (r >= 0.9 - 1e-5).all() and (r <= 1.1 + 1e-5).all()
+
+
+def test_linear_schedule_ramps(model):
+    dr = DomainRandomizer([RandSpec("body_mass", "uniform", (0.5, 1.5),
+                                    "scaling", schedule="linear",
+                                    schedule_steps=100)])
+    key = jax.random.PRNGKey(2)
+    m0 = dr.randomize_model(key, model, step=0)
+    m_half = dr.randomize_model(key, model, step=50)
+    m_full = dr.randomize_model(key, model, step=200)
+    d0 = np.abs(np.asarray(m0.body_mass / model.body_mass) - 1).max()
+    dh = np.abs(np.asarray(m_half.body_mass / model.body_mass) - 1).max()
+    df = np.abs(np.asarray(m_full.body_mass / model.body_mass) - 1).max()
+    assert d0 < 1e-6          # step 0 → identity
+    assert 0 < dh < df        # ramping up
+
+
+def test_obs_action_noise_jit():
+    dr = DomainRandomizer([
+        RandSpec("observations", "gaussian", (0.0, 0.01), "additive"),
+        RandSpec("actions", "gaussian", (0.0, 0.02), "additive"),
+    ])
+    obs = jnp.ones((4, 10))
+    act = jnp.zeros((4, 6))
+    f = jax.jit(lambda k, o, a: (dr.randomize_obs(k, o),
+                                 dr.randomize_actions(k, a)))
+    o2, a2 = f(jax.random.PRNGKey(3), obs, act)
+    assert not np.allclose(np.asarray(o2), np.asarray(obs))
+    assert np.isfinite(np.asarray(o2)).all() and np.isfinite(np.asarray(a2)).all()
+
+
+def test_unknown_field_rejected():
+    with pytest.raises(ValueError):
+        DomainRandomizer([RandSpec("not_a_field")])
