@@ -230,6 +230,11 @@ class TennisEnv:
             return jnp.stack([x, jnp.full((n,), 10.0), jnp.zeros(n)], -1)
         return jax.random.uniform(key, (n, 3)) * (hi - lo) + lo
 
+    def _init_tar_action(self, N) -> jnp.ndarray:
+        """Initial task-machine role per env; the dual env overrides this so
+        odd lanes start in recovery awaiting the serve return."""
+        return jnp.ones(N, jnp.int32)
+
     def reset_all(self, key) -> Tuple[TennisState, jnp.ndarray]:
         cfg = self.cfg
         N = cfg.num_envs
@@ -263,7 +268,7 @@ class TennisEnv:
             ball_pos=lpos, ball_vel=lvel, ball_vspin=lspin, ball_traj=traj,
             racket_pos=racket_pos, racket_vel=jnp.zeros((N, 3)),
             racket_normal=racket_normal,
-            tar_action=jnp.ones(N, jnp.int32),
+            tar_action=self._init_tar_action(N),
             tar_time=jnp.zeros(N, jnp.int32),
             tar_time_total=tt.astype(jnp.int32),
             target_bounce=self._sample_target(k_tar, N),
