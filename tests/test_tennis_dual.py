@@ -1,0 +1,114 @@
+"""Dual-player rally env: lane pairing, hand-off mirroring, done coupling."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vid2player3d_tpu.envs import DualTennisEnv, TennisConfig
+from vid2player3d_tpu.learn import V2PPPO
+from vid2player3d_tpu.learn.v2p_ppo import V2PConfig
+from vid2player3d_tpu.tennis import player as P
+from vid2player3d_tpu.tennis.ball import TennisBallGenerator
+
+
+@pytest.fixture(scope="module")
+def env():
+    key = jax.random.PRNGKey(0)
+    spec = P.make_random_spec(key, hidden=32, experts=2)
+    rng = np.random.default_rng(0)
+    feats = (rng.standard_normal((8, P.FRAME_SIZE)) * 0.05).astype(np.float32)
+    feats[:, 2] = 0.95
+    cfg = TennisConfig(num_envs=4, substeps=2, max_episode_length=50,
+                       reset_reaction_nframes=12)
+    gen = TennisBallGenerator(num_candidates=256, seed=0)
+    return DualTennisEnv(cfg, spec, feats, ball_generator=gen)
+
+
+def test_reset_lane_roles(env):
+    state, obs = env.reset_all(jax.random.PRNGKey(1))
+    ta = np.asarray(state.tar_action)
+    # even lanes receive first; odd lanes wait for the hand-off
+    assert list(ta) == [1, 0, 1, 0]
+    # waiting lanes' ball is parked out of play, receding
+    bp = np.asarray(state.ball_pos)
+    bv = np.asarray(state.ball_vel)
+    assert np.all(bp[1::2, 1] >= 20.0) and np.all(bv[1::2, 1] > 0)
+    assert np.all(np.isfinite(np.asarray(obs)))
+
+
+def test_done_coupled_across_lanes(env):
+    state, _ = env.reset_all(jax.random.PRNGKey(2))
+    step = jax.jit(env.step)
+    key = jax.random.PRNGKey(3)
+    for _ in range(25):
+        key, sub = jax.random.split(key)
+        act = 0.1 * jax.random.normal(sub, (4, env.num_actions))
+        state, out = step(state, act)
+        d = np.asarray(out.done)
+        # rally ends for both paired lanes together
+        assert np.array_equal(d[0::2], d[1::2])
+        assert np.all(np.isfinite(np.asarray(out.obs)))
+
+
+def test_handoff_mirrors_partner_ball(env):
+    """A hit on lane 0 hands lane 1 the mirrored incoming ball."""
+    state, _ = env.reset_all(jax.random.PRNGKey(4))
+    N = 4
+    # place lane-0 balls right on the racket, incoming, to force contact
+    pos = np.asarray(state.racket_pos).copy()
+    pos[:, 1] += 0.03
+    vel = np.tile(np.array([0.0, -20.0, 2.0], np.float32), (N, 1))
+    state = dataclasses.replace(
+        state,
+        ball_pos=jnp.asarray(pos), ball_vel=jnp.asarray(vel),
+        ball_vspin=jnp.zeros(N),
+        has_contact=jnp.zeros(N, bool),
+        # keep episodes alive regardless of estimate outcome
+        progress=jnp.zeros(N, jnp.int32))
+    env2 = DualTennisEnv.__new__(DualTennisEnv)
+    env2.__dict__.update(env.__dict__)
+    env2.cfg = dataclasses.replace(env.cfg, enable_early_termination=False)
+    state, out = jax.jit(env2.step)(state, jnp.zeros((N, env.num_actions)))
+    hit = np.asarray(state.has_contact)[0::2]
+    if hit.any():
+        ta = np.asarray(state.tar_action)
+        done = np.asarray(out.done, bool)
+        for i in np.nonzero(hit)[0]:
+            even, odd = 2 * i, 2 * i + 1
+            if done[even]:
+                continue
+            # partner flipped into reaction with a mirrored incoming ball
+            assert ta[odd] == 1
+            b_even = np.asarray(state.ball_pos)[even]
+            b_odd = np.asarray(state.ball_pos)[odd]
+            assert np.allclose(b_odd[:2], -b_even[:2], atol=2.0)
+            assert np.asarray(state.ball_vel)[odd, 1] <= 0.0
+
+
+def test_dual_policy_routing_trains():
+    """V2PPPO(num_policies=2) runs one epoch and keeps two distinct nets."""
+    key = jax.random.PRNGKey(0)
+    spec = P.make_random_spec(key, hidden=32, experts=2)
+    rng = np.random.default_rng(0)
+    feats = (rng.standard_normal((8, P.FRAME_SIZE)) * 0.05).astype(np.float32)
+    feats[:, 2] = 0.95
+    cfg = TennisConfig(num_envs=4, substeps=2, max_episode_length=50)
+    env = DualTennisEnv(cfg, spec, feats,
+                        ball_generator=TennisBallGenerator(
+                            num_candidates=256, seed=0))
+    agent = V2PPPO(env, V2PConfig(horizon=4, minibatch_size=8,
+                                  mini_epochs=1, num_policies=2,
+                                  actor_units=(32,), critic_units=(32,)),
+                   seed=1)
+    ts = agent.init_state()
+    old0 = np.asarray(jax.tree_util.tree_leaves(ts.params)[0]).copy()
+    ts2, metrics = agent.train_epoch(ts)
+    assert np.isfinite(float(metrics["reward_mean"]))
+    # the stacked params differ per lane and both received updates
+    leaf0 = jax.tree_util.tree_leaves(ts2.params)[0]
+    assert leaf0.shape[0] == 2
+    assert not np.allclose(np.asarray(leaf0[0]), np.asarray(leaf0[1]))
+    assert not np.allclose(np.asarray(leaf0), old0)

@@ -132,6 +132,8 @@ def _build_tennis(run_cfg, args):
 
         env = DualTennisEnv(env_cfg, spec, feats,
                             ball_generator=TennisBallGenerator())
+        # one net per player identity, lane-routed (im_network_builder_dual)
+        v2p_cfg = dataclasses.replace(v2p_cfg, num_policies=2)
         agent = V2PPPO(env, v2p_cfg, seed=seed)
     else:
         env = TennisEnv(env_cfg, spec, feats,

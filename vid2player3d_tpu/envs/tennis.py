@@ -235,6 +235,33 @@ class TennisEnv:
         odd lanes start in recovery awaiting the serve return."""
         return jnp.ones(N, jnp.int32)
 
+    # -- dual-mode hooks (overridden by DualTennisEnv) -------------------------
+
+    def _reaction_trigger(self, state: TennisState, tar_time,
+                          contact_now) -> jnp.ndarray:
+        """When does a recovery env flip back to reaction? Single-player: the
+        timed window `tar_time == tar_time_total` (reference
+        `physics_mvae_controller.py:216-231`). Dual: the opponent's hit."""
+        return tar_time == state.tar_time_total
+
+    def _reaction_ball(self, state: TennisState, key, ball_state13,
+                       reaction_mask):
+        """Incoming ball for envs entering reaction. Single-player: sampled
+        from the offline trajectory pool (`:216-227`). Dual: the opponent's
+        outgoing ball mirrored through the net
+        (`humanoid_smpl_im_mvae_dual.py:52-81`)."""
+        return self._sample_ball(key, self.cfg.num_envs)
+
+    def _couple_done(self, terminate, done):
+        """Rally coupling: dual mode terminates both paired envs when either
+        ends (`physics_mvae_controller_dual.py:112-121`)."""
+        return terminate, done
+
+    def _post_reset(self, state: TennisState) -> TennisState:
+        """Post-process freshly reset env state (dual parks the recovery
+        lane's ball out of play until the serve hand-off)."""
+        return state
+
     def reset_all(self, key) -> Tuple[TennisState, jnp.ndarray]:
         cfg = self.cfg
         N = cfg.num_envs
@@ -285,6 +312,7 @@ class TennisEnv:
             terminate_buf=jnp.zeros(N, jnp.int32),
             key=k_carry,
         )
+        state = self._post_reset(state)
         return state, self._obs(state)
 
     def _masked_env_reset(self, state: TennisState, key) -> TennisState:
@@ -571,9 +599,11 @@ class TennisEnv:
         has_nan = ~jnp.all(jnp.isfinite(obs), axis=-1)
         terminate = out_of_court | has_nan
 
-        ball_passed = ball_pos[:, 1] < root_pos[:, 1] - 1.0
+        ball_passed = (ball_pos[:, 1] < root_pos[:, 1] - 1.0) \
+            & (new_state.tar_action == 1)
         reset_recovery = (new_state.tar_action == 1) & (contact | ball_passed)
-        reset_reaction = tar_time == new_state.tar_time_total
+        reset_reaction = self._reaction_trigger(new_state, tar_time,
+                                                contact_now)
 
         if cfg.enable_early_termination:
             terminate = terminate | (reset_recovery & ~contact) | ball_passed
@@ -581,6 +611,7 @@ class TennisEnv:
                 terminate = terminate | (contact & ~est_bounce_in)
 
         done = terminate | (progress >= cfg.max_episode_length - 1)
+        terminate, done = self._couple_done(terminate, done)
         reset_reaction = reset_reaction & ~done
         reset_recovery = reset_recovery & ~done
 
@@ -591,7 +622,8 @@ class TennisEnv:
                                 new_state.bounce_pos)
 
         # apply reaction transition (:216-244): new incoming ball + target
-        traj_new, lpos, lvel, lspin = self._sample_ball(k_ball, N)
+        traj_new, lpos, lvel, lspin = self._reaction_ball(
+            new_state, k_ball, ball_state13, reset_reaction)
         tt_new = (cfg.reset_reaction_nframes
                   + jax.random.randint(k_tt, (N,), -5, 5)).astype(jnp.int32)
         tgt_new = self._sample_target(k_tar, N)

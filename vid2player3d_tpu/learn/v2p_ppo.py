@@ -47,6 +47,9 @@ class V2PConfig(PPOConfig):
     aux_dof_res_coef: float = 0.0   # aux_loss_specs.dof_res
     actor_units: Tuple[int, ...] = (1024, 512)
     critic_units: Tuple[int, ...] = (1024, 512)
+    # dual-player rally: one independent net per player identity, routed by
+    # env-lane parity (reference `v2p_network_builder_dual.py:39-57`)
+    num_policies: int = 1
 
 
 @jax.tree_util.register_pytree_node_class
@@ -83,7 +86,16 @@ class V2PPPO:
                           actor_units=cfg.actor_units,
                           critic_units=cfg.critic_units)
         key = jax.random.PRNGKey(seed)
-        self._init_params = self.net.init(key, jnp.zeros((1, self.obs_dim)))
+        self.num_policies = cfg.num_policies
+        if self.num_policies > 1:
+            # stacked leading policy axis; lane p uses params[p]
+            keys = jax.random.split(key, self.num_policies)
+            self._init_params = jax.vmap(
+                lambda k: self.net.init(k, jnp.zeros((1, self.obs_dim))))(keys)
+        else:
+            self._init_params = self.net.init(key,
+                                              jnp.zeros((1, self.obs_dim)))
+        self._lane = jnp.arange(env.cfg.num_envs) % self.num_policies
         self.tx = optax.chain(optax.clip_by_global_norm(cfg.grad_norm),
                               optax.scale_by_adam(eps=1e-8))
         self.sigma = jnp.full((self.num_actions,), np.exp(cfg.sigma_init),
@@ -116,9 +128,23 @@ class V2PPPO:
 
     # -- forward ---------------------------------------------------------------
 
-    def _forward(self, params, obs_norm, obs):
+    def _apply(self, params, obs_n, lane):
+        """Routed forward: with num_policies>1, every policy evaluates the
+        whole batch and each sample keeps its own lane's output — a static-
+        shape select that XLA fuses, instead of the reference's host-side
+        even/odd tensor interleave (`v2p_network_builder_dual.py:39-57`)."""
+        if self.num_policies == 1:
+            return self.net.apply(params, obs_n)
+        mu_all, v_all = jax.vmap(lambda p: self.net.apply(p, obs_n))(params)
+        sel = jax.nn.one_hot(lane, self.num_policies, dtype=mu_all.dtype)
+        mu = jnp.einsum("pba,bp->ba", mu_all, sel)
+        value = jnp.einsum("pb,bp->b", v_all, sel)
+        return mu, value
+
+    def _forward(self, params, obs_norm, obs, lane=None):
         obs_n = RN.normalize(obs_norm, obs, self.cfg.obs_clip)
-        return self.net.apply(params, obs_n)
+        return self._apply(params, obs_n,
+                           self._lane if lane is None else lane)
 
     # -- epoch -------------------------------------------------------------------
 
@@ -188,11 +214,12 @@ class V2PPPO:
         batch_all = dict(obs=obs_f, action=flat(traj["action"]),
                          old_mu=flat(traj["mu"]),
                          old_neglogp=flat(traj["neglogp"]), adv=adv_f,
-                         return_norm=ret_norm_f)
+                         return_norm=ret_norm_f,
+                         lane=jnp.tile(self._lane, cfg.horizon))
 
         def loss_fn(params, mb):
             obs_n = RN.normalize(ts.obs_norm, mb["obs"], cfg.obs_clip)
-            mu, v_norm = self.net.apply(params, obs_n)
+            mu, v_norm = self._apply(params, obs_n, mb["lane"])
             neglogp = diag_gaussian_neglogp(mb["action"], mu,
                                             self.sigma[None])
             ratio = jnp.exp(mb["old_neglogp"] - neglogp)
