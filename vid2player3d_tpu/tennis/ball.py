@@ -188,7 +188,13 @@ class TennisBallGenerator:
     inside jitted reset paths."""
 
     def __init__(self, cfg: Optional[dict] = None, num_candidates: int = 4096,
-                 seed: int = 0, p: BallParams = DEFAULT_PARAMS):
+                 seed: int = 0, p: BallParams = DEFAULT_PARAMS,
+                 backend: str = "auto"):
+        """backend: 'jax' integrates the candidate pool on device; 'native'
+        uses the C++/OpenMP host kernel (the framework's equivalent of the
+        reference's offline Isaac farm, `tennis_ball.py:221-356`); 'auto'
+        prefers native when the toolchain is available. Both backends share
+        the force model, so pools agree to float accumulation order."""
         cfg = cfg or {}
         self.p = p
         self.traj_length = int(cfg.get("ball_traj_length", 100))
@@ -220,8 +226,20 @@ class TennisBallGenerator:
                          speed * jnp.cos(theta) * d[:, 1],
                          speed * jnp.sin(theta)], axis=1)
 
-        res = simulate_flight(origin, vel, vspin,
-                              num_frames=self.traj_length, p=p)
+        if backend == "auto":
+            from ..native import native_available
+            backend = "native" if native_available() else "jax"
+        if backend == "native":
+            from ..native import simulate_flight_native
+            res = simulate_flight_native(np.asarray(origin), np.asarray(vel),
+                                         np.asarray(vspin),
+                                         num_frames=self.traj_length,
+                                         params=p)
+            res = jax.tree_util.tree_map(jnp.asarray, res)
+        else:
+            res = simulate_flight(origin, vel, vspin,
+                                  num_frames=self.traj_length, p=p)
+        self.backend = backend
         valid = (res.pass_net & res.has_bounce
                  & (res.bounce_pos[:, 0] > bounce_min[0])
                  & (res.bounce_pos[:, 0] < bounce_max[0])
@@ -249,6 +267,46 @@ class TennisBallGenerator:
         idx = jax.random.randint(key, (n,), 0, self.pool_size)
         return (self.traj_pool[idx], self.launch_pos[idx],
                 self.launch_vel[idx], self.launch_vspin[idx])
+
+    def sample_near(self, key, x: jnp.ndarray):
+        """Opponent-position-conditioned gather: pick among the pool entries
+        whose launch x is closest to `x` (the reference sorts the offline
+        pool by x and indexes a window around the opponent,
+        `tennis_ball.py:446-456`). Pure; safe inside jit."""
+        n = x.shape[0]
+        xs = self.launch_pos[self.x_order, 0]
+        pos = jnp.searchsorted(xs, x)
+        win = max(1, self.pool_size // 8)
+        jitter = jax.random.randint(key, (n,), -win // 2, win // 2 + 1)
+        idx = self.x_order[jnp.clip(pos + jitter, 0, self.pool_size - 1)]
+        return (self.traj_pool[idx], self.launch_pos[idx],
+                self.launch_vel[idx], self.launch_vspin[idx])
+
+    # -- offline pool IO (reference TennisBallGeneratorOffline, :422-456) -----
+
+    def save_npz(self, path: str) -> None:
+        np.savez_compressed(
+            path, traj=np.asarray(self.traj_pool),
+            launch_pos=np.asarray(self.launch_pos),
+            launch_vel=np.asarray(self.launch_vel),
+            launch_vspin=np.asarray(self.launch_vspin))
+
+    @classmethod
+    def from_npz(cls, path: str, p: BallParams = DEFAULT_PARAMS
+                 ) -> "TennisBallGenerator":
+        """Load a pre-generated pool (the `ball_traj_in_subs*.npy` analog)."""
+        data = np.load(path)
+        self = cls.__new__(cls)
+        self.p = p
+        self.traj_pool = jnp.asarray(data["traj"])
+        self.launch_pos = jnp.asarray(data["launch_pos"])
+        self.launch_vel = jnp.asarray(data["launch_vel"])
+        self.launch_vspin = jnp.asarray(data["launch_vspin"])
+        self.pool_size = int(self.traj_pool.shape[0])
+        self.traj_length = int(self.traj_pool.shape[1])
+        self.backend = "offline"
+        self.x_order = jnp.argsort(self.bounce_x())
+        return self
 
 
 # ---------------------------------------------------------------------------
