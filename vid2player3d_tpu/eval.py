@@ -151,6 +151,8 @@ def export_rollout(agent, path: str, num_steps: int = 150) -> str:
             state, obs = carry
             mu, _ = agent._forward(ts.params, ts.obs_norm, obs)
             state2, out = env.step(state, mu)
+            from vid2player3d_tpu.physics import engine
+            bp, _, _, _ = engine.fk_world(env.model, state2.sim)
             rec = dict(root_pos=state2.mvae.root_pos,
                        joint_rotmat=state2.mvae.joint_rotmat,
                        ball_pos=state2.ball_pos,
@@ -159,7 +161,10 @@ def export_rollout(agent, path: str, num_steps: int = 150) -> str:
                        sim_root_pos=state2.sim.root_pos,
                        sim_root_quat=state2.sim.root_quat,
                        sim_joint_quat=state2.sim.joint_quat,
-                       done=out.done)
+                       body_pos=bp,
+                       done=out.done,
+                       contact=state2.has_contact,
+                       bounce_in=state2.bounce_in)
             return (state2, out.obs), rec
 
         return jax.lax.scan(step_fn, (state, obs), None, length=num_steps)
