@@ -213,21 +213,27 @@ class ImitationPPO:
 
             env_state2, out = env.step(env_state, action)
 
-            # next value with terminate masking (`im_agent.py:348-359`)
-            _, _, _, vn_next, _ = self._forward(env, ts.params, ts.obs_norm,
-                                                out.obs, ctx_feat, t + 1)
-            v_next = RN.unnormalize_value(ts.val_norm, vn_next[:, None])[:, 0] \
-                if cfg.normalize_value else vn_next
-            next_value = v_next * (1.0 - out.terminate.astype(jnp.float32))
-
             store = dict(obs=io, action=action, mu=mu, neglogp=neglogp,
-                         value=value, next_value=next_value, reward=out.reward,
-                         done=out.done.astype(jnp.float32), alive=alive,
+                         value=value, reward=out.reward,
+                         done=out.done.astype(jnp.float32),
+                         terminate=out.terminate.astype(jnp.float32),
+                         alive=alive,
                          sub_rewards=out.sub_rewards, ctx_dof=c_dof)
             return (env_state2, out.obs, key), store
 
-        (env_state, _, _), traj = jax.lax.scan(
+        (env_state, last_obs, _), traj = jax.lax.scan(
             step_fn, (env_state, raw_obs, k_act), jnp.arange(cfg.horizon))
+
+        # next-value bootstrap with terminate masking (`im_agent.py:348-359`):
+        # v(obs_{t+1}) equals the value computed at loop top t+1, so carry it
+        # instead of a second policy forward per step; one extra forward for
+        # the final obs closes the horizon.
+        _, _, _, vn_last, _ = self._forward(env, ts.params, ts.obs_norm,
+                                            last_obs, ctx_feat, cfg.horizon)
+        v_last = RN.unnormalize_value(ts.val_norm, vn_last[:, None])[:, 0] \
+            if cfg.normalize_value else vn_last
+        v_next = jnp.concatenate([traj["value"][1:], v_last[None]], axis=0)
+        traj["next_value"] = v_next * (1.0 - traj["terminate"])
         return traj
 
     def _gae(self, traj):
