@@ -56,9 +56,19 @@ def test_generator_native_backend_pools_agree():
     assert g_nat.backend == "native"
     # same candidate sampling + same physics -> (nearly) the same pool
     assert abs(g_nat.pool_size - g_jax.pool_size) <= 0.05 * g_jax.pool_size
-    n = min(g_nat.pool_size, g_jax.pool_size)
-    # launch states are drawn identically; compare the common survivors
-    common = min(n, 32)
-    assert np.allclose(np.asarray(g_nat.launch_vel[:common]),
-                       np.asarray(g_jax.launch_vel[:common]), atol=1e-4) or \
-        g_nat.pool_size != g_jax.pool_size
+    # launch states are drawn identically, so survivors common to both
+    # backends must carry identical launch velocities: match rows of the
+    # (smaller) pool against the other pool by nearest launch position
+    jax_lp = np.asarray(g_jax.launch_pos)
+    nat_lp = np.asarray(g_nat.launch_pos)
+    jax_lv = np.asarray(g_jax.launch_vel)
+    nat_lv = np.asarray(g_nat.launch_vel)
+    matched = 0
+    for i in range(min(g_nat.pool_size, 64)):
+        d = np.linalg.norm(jax_lp - nat_lp[i], axis=1)
+        j = int(np.argmin(d))
+        if d[j] < 1e-5:  # same candidate survived in both backends
+            np.testing.assert_allclose(nat_lv[i], jax_lv[j], atol=1e-4)
+            matched += 1
+    # the overwhelming majority of candidates must be common survivors
+    assert matched >= 0.9 * min(g_nat.pool_size, 64)

@@ -30,12 +30,18 @@ def env():
 def test_reset_lane_roles(env):
     state, obs = env.reset_all(jax.random.PRNGKey(1))
     ta = np.asarray(state.tar_action)
-    # even lanes receive first; odd lanes wait for the hand-off
+    # even lanes receive first; odd lanes (servers) wait for the hand-off
     assert list(ta) == [1, 0, 1, 0]
-    # waiting lanes' ball is parked out of play, receding
+    # the rally opens with the odd lane's synthesized serve
+    # (`humanoid_smpl_im_mvae_dual.py:52-63`): servers' ball launches from
+    # their racket at serve speed; receivers get the mirrored incoming ball
     bp = np.asarray(state.ball_pos)
     bv = np.asarray(state.ball_vel)
-    assert np.all(bp[1::2, 1] >= 20.0) and np.all(bv[1::2, 1] > 0)
+    rp = np.asarray(state.racket_pos)
+    assert np.allclose(bp[1::2], rp[1::2], atol=1e-5)   # serve from racket
+    assert np.all(bv[1::2, 1] >= 28.0)                  # outgoing serve speed
+    assert np.all(bp[0::2, 1] > 0)                      # incoming from far side
+    assert np.all(bv[0::2, 1] <= -28.0)
     assert np.all(np.isfinite(np.asarray(obs)))
 
 

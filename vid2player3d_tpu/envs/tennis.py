@@ -63,8 +63,18 @@ class TennisConfig:
     # action space (physics_mvae_controller.py:148-156)
     num_latents: int = 32
     add_residual_dof: bool = True
+    add_residual_root: bool = False
+    residual_root_scale: float = 0.02
     vae_action_scale: float = 1.5
     random_walk_in_recovery: bool = True
+    # kinematic-pose fidelity fixes (humanoid_smpl_im_mvae.py)
+    fix_head_orientation: bool = False   # look at the ball (`:605-634`)
+    # initial ball: "pool" launches from the offline trajectory pool;
+    # "serve_toss" synthesizes the serve toss from the free hand (`:526-560`)
+    init_ball_type: str = "pool"
+    # physics coupling: racket-ball contact reacts back on the wrist
+    # (PhysX two-way coupling through racket shapes, `:367-442`)
+    ball_reaction_force: bool = False
     # task machine
     reset_reaction_nframes: int = 70
     obs_ball_traj_length: int = 10
@@ -89,7 +99,8 @@ class TennisConfig:
 
     @property
     def num_actions(self) -> int:
-        return self.num_latents + (3 if self.add_residual_dof else 0)
+        return self.num_latents + (3 if self.add_residual_dof else 0) \
+            + (3 if self.add_residual_root else 0)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -106,6 +117,7 @@ class TennisState:
     racket_pos: jnp.ndarray      # (N,3)
     racket_vel: jnp.ndarray      # (N,3)
     racket_normal: jnp.ndarray   # (N,3)
+    racket_impulse: jnp.ndarray  # (N,3) pending ball-contact reaction impulse
     # task machine
     tar_action: jnp.ndarray      # (N,) int32: 1 reaction, 0 recovery
     tar_time: jnp.ndarray        # (N,) int32
@@ -170,7 +182,11 @@ class TennisEnv:
         if betas is None:
             betas = np.zeros((cfg.num_envs, 10), np.float32)
         self.model = asset.build_humanoid_model(self.smpl, betas)
-        self.rest_joint_offsets = self.model.joint_pos  # (N,24,3) mujoco order
+        # gender+betas body channel for the low-level imitation obs (matches
+        # `HumanoidImEnv.motion_bodies`, i.e. MotionLib `motion_bodies` 11-dim)
+        self.motion_bodies = jnp.concatenate(
+            [jnp.zeros((cfg.num_envs, 1), jnp.float32),
+             jnp.asarray(betas, jnp.float32)], axis=-1)
         self.init_conditions = jnp.asarray(init_conditions, jnp.float32)
         self.gen = ball_generator or B.TennisBallGenerator(
             {"ball_traj_length": cfg.ball_traj_pool_len},
@@ -182,7 +198,10 @@ class TennisEnv:
 
         names = S.MUJOCO_JOINT_NAMES
         self.wrist_id = names.index("R_Wrist" if spec.righthand else "L_Wrist")
-        _, _, self.racket_reach, self.racket_head_radius = grip_arrays(
+        self.free_hand_id = names.index("L_Hand" if spec.righthand
+                                        else "R_Hand")
+        (self.racket_dir_c, self.racket_normal_c, self.racket_reach,
+         self.racket_head_radius) = grip_arrays(
             "eastern" if spec.righthand else "lefthand_semi_western")
         self.obs_dim = (3 + 3 + 24 * 3 + 24 * 6 + 3
                         + 3 * cfg.obs_ball_traj_length + 2)
@@ -190,12 +209,96 @@ class TennisEnv:
         self._rw = dict(cfg.reward_weights)
         self._rs = dict(cfg.reward_scales)
 
+    @property
+    def rest_joint_offsets(self):
+        """(N, 24, 3) parent-relative rest offsets, mujoco order (tracks the
+        model so `with_arrays` re-binding stays consistent)."""
+        return self.model.joint_pos
+
+    # -- array plumbing for SPMD (same contract as HumanoidImEnv) ------------
+
+    ARRAY_FIELDS = ("model", "motion_bodies", "init_conditions")
+
+    def arrays(self):
+        return {f: getattr(self, f) for f in self.ARRAY_FIELDS}
+
+    def with_arrays(self, arrs):
+        import copy
+
+        env = copy.copy(self)
+        for f, v in arrs.items():
+            setattr(env, f, v)
+        return env
+
+    def shard(self, mesh, axis: str = "data") -> "TennisEnv":
+        """Per-env arrays laid out P(axis) over `mesh`; shared pools /
+        MVAE spec / frozen-policy params replicated — makes any jitted
+        step/epoch SPMD data-parallel over the env axis (SURVEY.md §2.7)."""
+        import copy
+
+        from vid2player3d_tpu import parallel
+
+        env = copy.copy(self)
+        env.model = parallel.shard_leading_axis(self.model, mesh, axis)
+        env.motion_bodies = parallel.shard_leading_axis(self.motion_bodies,
+                                                        mesh, axis)
+        env.init_conditions = parallel.replicate(self.init_conditions, mesh)
+        # spec is a plain dataclass (not a pytree): replicate its array leaves
+        env.spec = dataclasses.replace(
+            self.spec,
+            params=parallel.replicate(self.spec.params, mesh),
+            avg=parallel.replicate(self.spec.avg, mesh),
+            std=parallel.replicate(self.spec.std, mesh))
+        if self.pi_low_params is not None:
+            env.pi_low_params = parallel.replicate(self.pi_low_params, mesh)
+        return env
+
     # -- kinematic targets ---------------------------------------------------
 
-    def _kinematic_targets(self, mvae: P.MVAEPlayerState):
+    # SMPL chain pelvis→head for the look-at fix
+    _HEAD, _NECK = 15, 12
+    _HEAD_CHAIN = (0, 3, 6, 9, 12, 15)
+
+    def _fix_head_orientation(self, mvae: P.MVAEPlayerState, ball_pos):
+        """Rotate Neck+Head so the character looks at the ball
+        (`humanoid_smpl_im_mvae.py:605-634`): the head's +z look direction is
+        yawed toward the ball, the correction split evenly between neck and
+        head; skipped when the ball is already missed."""
+        rm = mvae.joint_rotmat                                 # (N,24,3,3)
+        N = rm.shape[0]
+        head_g = rm[:, self._HEAD_CHAIN[0]]
+        for j in self._HEAD_CHAIN[1:]:
+            head_g = head_g @ rm[:, j]
+        lookat = head_g[..., :2, 2]                            # (R @ [0,0,1])_xy
+        lookat = lookat / (jnp.linalg.norm(lookat, axis=-1, keepdims=True)
+                           + 1e-8)
+        # head world position from the kinematic FK
+        _, body_pos, _ = self._kinematic_targets(mvae)
+        head_id_mj = S.MUJOCO_JOINT_NAMES.index("Head")
+        head_ball = ball_pos[:, :2] - body_pos[:, head_id_mj, :2]
+        head_ball = head_ball / (jnp.linalg.norm(head_ball, axis=-1,
+                                                 keepdims=True) + 1e-8)
+        diff = jnp.arctan2(head_ball[:, 1], head_ball[:, 0]) \
+            - jnp.arctan2(lookat[:, 1], lookat[:, 0])
+        diff = jnp.arctan2(jnp.sin(diff), jnp.cos(diff))       # wrap to ±pi
+        miss = (ball_pos[:, 1] < mvae.root_pos[:, 1] - 0.5) \
+            | (jnp.abs(ball_pos[:, 0]) > 4.0)
+        diff = jnp.where(miss, 0.0, diff)
+
+        aa = R.rotmat_to_angle_axis(
+            rm[:, (self._HEAD, self._NECK)].reshape(-1, 3, 3)).reshape(N, 2, 3)
+        aa = aa.at[:, :, 1].add(diff[:, None] / 2.0)
+        new_rm = R.angle_axis_to_rotmat(aa.reshape(-1, 3)).reshape(N, 2, 3, 3)
+        joint_rotmat = rm.at[:, self._HEAD].set(new_rm[:, 0]) \
+            .at[:, self._NECK].set(new_rm[:, 1])
+        return dataclasses.replace(mvae, joint_rotmat=joint_rotmat)
+
+    def _kinematic_targets(self, mvae: P.MVAEPlayerState, res_root=None):
         """MVAE SMPL-order local rotmats -> sim PD dof targets (69, mujoco
         order) + target body pos/rot for the low-level obs (reference
-        `_smpl_to_sim`, humanoid_smpl_im_mvae.py:897-946)."""
+        `_smpl_to_sim`, humanoid_smpl_im_mvae.py:897-946). `res_root`:
+        optional (N,3) residual target-root translation from the policy
+        (`:603 target_root_pos += res_root_actions`)."""
         rot_mj = mvae.joint_rotmat[:, S.SMPL_2_MUJOCO]        # (N,24,3,3)
         dof_tar = R.rotmat_to_angle_axis(
             rot_mj[:, 1:].reshape(-1, 3, 3)).reshape(
@@ -203,8 +306,10 @@ class TennisEnv:
         # FK for target body positions/orientations in world
         parents = self.model.parents
         off = self.rest_joint_offsets
+        root_pos = mvae.root_pos if res_root is None \
+            else mvae.root_pos + res_root
         gR = [rot_mj[:, 0]]
-        gp = [mvae.root_pos]
+        gp = [root_pos]
         for j in range(1, 24):
             p = parents[j]
             gp.append(gp[p] + jnp.einsum("nij,nj->ni", gR[p], off[:, j]))
@@ -218,6 +323,25 @@ class TennisEnv:
     def _sample_ball(self, key, n):
         traj, lpos, lvel, lspin = self.gen.sample(key, n)
         return traj, lpos, lvel, lspin
+
+    def _serve_toss(self, free_hand_pos):
+        """Serve ball toss from the free hand (`create_ball_state_for_serve`,
+        humanoid_smpl_im_mvae.py:526-560): launch 0.1 m above the free hand
+        with the projectile velocity that reaches the reference toss apex
+        target (−0.87, −12.10, 2.71) in 25/30 s."""
+        t = 25.0 / 30.0
+        g = self.ball_params.gravity
+        pos = free_hand_pos + jnp.array([0.0, 0.0, 0.1])
+        target = jnp.array([-0.87, -12.10, 2.71])
+        d = target[None] - pos
+        vel = jnp.concatenate(
+            [d[:, :2] / t, ((d[:, 2] + 0.5 * g * t * t) / t)[:, None]],
+            axis=-1)
+        vspin = jnp.zeros(pos.shape[0])
+        T = self.gen.traj_length
+        res = B.simulate_flight(pos, vel, vspin, num_frames=T,
+                                p=self.ball_params)
+        return res.traj, pos, vel, vspin
 
     def _sample_target(self, key, n):
         cfg = self.cfg
@@ -249,8 +373,13 @@ class TennisEnv:
         """Incoming ball for envs entering reaction. Single-player: sampled
         from the offline trajectory pool (`:216-227`). Dual: the opponent's
         outgoing ball mirrored through the net
-        (`humanoid_smpl_im_mvae_dual.py:52-81`)."""
-        return self._sample_ball(key, self.cfg.num_envs)
+        (`humanoid_smpl_im_mvae_dual.py:52-81`).
+
+        Returns (traj, launch_pos, launch_vel, launch_vspin, ok) — `ok`
+        marks hand-offs that actually clear the net; pool samples are
+        pre-filtered so the single-player path is always valid."""
+        traj, lpos, lvel, lspin = self._sample_ball(key, self.cfg.num_envs)
+        return traj, lpos, lvel, lspin, jnp.ones(self.cfg.num_envs, bool)
 
     def _couple_done(self, terminate, done):
         """Rally coupling: dual mode terminates both paired envs when either
@@ -283,7 +412,12 @@ class TennisEnv:
             jnp.zeros((N, 3)), jnp.zeros((N, 3)), dof_tar,
             jnp.zeros((N, 69)))
 
-        traj, lpos, lvel, lspin = self._sample_ball(k_ball, N)
+        if cfg.init_ball_type == "serve_toss":
+            bp, _, _, _ = engine.fk_world(self.model, sim)
+            traj, lpos, lvel, lspin = self._serve_toss(
+                bp[:, self.free_hand_id])
+        else:
+            traj, lpos, lvel, lspin = self._sample_ball(k_ball, N)
         tt = cfg.reset_reaction_nframes + jax.random.randint(
             k_tt, (N,), -5, 5)
 
@@ -295,6 +429,7 @@ class TennisEnv:
             ball_pos=lpos, ball_vel=lvel, ball_vspin=lspin, ball_traj=traj,
             racket_pos=racket_pos, racket_vel=jnp.zeros((N, 3)),
             racket_normal=racket_normal,
+            racket_impulse=jnp.zeros((N, 3)),
             tar_action=self._init_tar_action(N),
             tar_time=jnp.zeros(N, jnp.int32),
             tar_time_total=tt.astype(jnp.int32),
@@ -337,11 +472,13 @@ class TennisEnv:
         return bp[:, self.wrist_id], bq[:, self.wrist_id]
 
     def _racket(self, wrist_pos, wrist_quat):
+        """Racket head + normal from the grip selected for this player's
+        handedness (reference `racket.py:10-45`; left-handers get the
+        mirrored `lefthand_semi_western` frame)."""
         rm = Q.quat_to_rotmat(wrist_quat)
-        dir_c, normal_c, reach, _ = grip_arrays("eastern")
-        rdir = rm @ jnp.asarray(dir_c)
-        rnormal = rm @ jnp.asarray(normal_c)
-        return wrist_pos + rdir * reach, rnormal
+        rdir = rm @ jnp.asarray(self.racket_dir_c)
+        rnormal = rm @ jnp.asarray(self.racket_normal_c)
+        return wrist_pos + rdir * self.racket_reach, rnormal
 
     # -- ball substep integration with racket contact --------------------------
 
@@ -360,7 +497,7 @@ class TennisEnv:
         racket_vel = (r_new - r_prev) / cfg.control_dt
 
         def sub(carry, i):
-            pos, vel, vspin, contact, bounce, bpos = carry
+            pos, vel, vspin, contact, bounce, bpos, imp = carry
             f = B.aero_force(vel, vspin, p)
             acc = f / p.mass + jnp.array([0.0, 0.0, -p.gravity])
             vel = vel + acc * dt
@@ -384,6 +521,10 @@ class TennisEnv:
                                         keepdims=True) * racket_normal
             out_spin = jnp.clip(cfg.spin_gain * jnp.linalg.norm(
                 tangential, axis=-1), 0.0, 10.0)
+            # contact impulse on the ball; its negative reacts on the racket
+            # next step (PhysX two-way coupling, humanoid_smpl_im_mvae.py:367-442)
+            imp = imp + jnp.where(hit[:, None],
+                                  p.mass * (out_vel - vel), 0.0)
             vel = jnp.where(hit[:, None], out_vel, vel)
             vspin = jnp.where(hit, out_spin, vspin)
             contact = contact | hit
@@ -400,16 +541,17 @@ class TennisEnv:
             bpos = jnp.where(first_bounce[:, None], pos_new, bpos)
             bounce = bounce | first_bounce
             vspin = jnp.where(ground, jnp.abs(vspin), vspin)
-            return (pos_new, vel, vspin, contact, bounce, bpos), hit
+            return (pos_new, vel, vspin, contact, bounce, bpos, imp), hit
 
-        (pos, vel, vspin, contact, bounce, bpos), hits = jax.lax.scan(
+        (pos, vel, vspin, contact, bounce, bpos, impulse), hits = jax.lax.scan(
             sub, (state.ball_pos, state.ball_vel, state.ball_vspin,
-                  state.has_contact, state.has_bounce, state.bounce_pos),
+                  state.has_contact, state.has_bounce, state.bounce_pos,
+                  jnp.zeros((N, 3))),
             jnp.arange(cfg.substeps))
         contact_now = jnp.any(hits, axis=0) & ~state.has_contact
         bounce_now = bounce & ~state.has_bounce
         return pos, vel, vspin, contact, bounce, bpos, contact_now, \
-            bounce_now, racket_vel
+            bounce_now, racket_vel, impulse
 
     # -- observations -----------------------------------------------------------
 
@@ -501,17 +643,31 @@ class TennisEnv:
                                 latents)
         residual = action[:, cfg.num_latents:cfg.num_latents + 3] \
             if cfg.add_residual_dof else None
+        n_res = cfg.num_latents + (3 if cfg.add_residual_dof else 0)
+        res_root = action[:, n_res:n_res + 3] * cfg.residual_root_scale \
+            if cfg.add_residual_root else None
 
-        # 3) kinematic MVAE frame
+        # 3) kinematic MVAE frame (+ optional head look-at-ball fix)
         mvae = P.step(self.spec, state.mvae, latents, residual)
-        dof_tar, tar_body_pos, tar_body_rot = self._kinematic_targets(mvae)
+        if cfg.fix_head_orientation:
+            mvae = self._fix_head_orientation(mvae, state.ball_pos)
+        dof_tar, tar_body_pos, tar_body_rot = self._kinematic_targets(
+            mvae, res_root)
 
-        # 4) frozen low-level policy (or pure PD tracking)
+        # 4) frozen low-level policy (or pure PD tracking). The policy's
+        # dof output is a RESIDUAL around the kinematic target (the
+        # residual-action head `mu += target_dof`,
+        # `im_network_builder.py:226-229`); both paths clamp the PD target
+        # around the current pose exactly like the imitation env
+        # (`humanoid_smpl_im.py:391-396`), so a zero policy reproduces the
+        # PD-only fallback bit-for-bit.
+        cur_dof = engine.dof_pos(state.sim)
+        lim = 0.5 * jnp.pi
         if self.pi_low is not None:
             low_obs = self._low_level_obs(state.sim, dof_tar, tar_body_pos,
                                           tar_body_rot)
             low_act = self.pi_low(self.pi_low_params, low_obs)
-            pd_tar = low_act[:, :69]
+            pd_tar = dof_tar + low_act[:, :69]
             root_force = root_torque = None
             if low_act.shape[-1] >= 75:
                 heading_q = Q.calc_heading_quat(
@@ -522,18 +678,30 @@ class TennisEnv:
                                             low_act[:, 72:75] * 31.85)
         else:
             pd_tar, root_force, root_torque = dof_tar, None, None
+        pd_tar = jnp.clip(pd_tar, cur_dof - lim, cur_dof + lim)
 
-        # 5) humanoid physics substeps
+        # 5) humanoid physics substeps; the previous step's ball-contact
+        # impulse reacts on the wrist (two-way coupling)
+        extra_f = extra_t = None
+        if cfg.ball_reaction_force:
+            N_ = state.racket_impulse.shape[0]
+            react = -state.racket_impulse / cfg.control_dt
+            wrist_prev, _ = self._wrist_state(state.sim)
+            arm = state.racket_pos - wrist_prev
+            extra_f = jnp.zeros((N_, 24, 3)).at[:, self.wrist_id].set(react)
+            extra_t = jnp.zeros((N_, 24, 3)).at[:, self.wrist_id].set(
+                jnp.cross(arm, react))
         sim = engine.control_step(
             self.model, state.sim, pd_tar, root_force, root_torque,
             substeps=cfg.substeps, control_dt=cfg.control_dt,
-            contact_params=self.contact_params)
+            contact_params=self.contact_params,
+            extra_force_w=extra_f, extra_torque_w=extra_t)
 
         # 6) racket from the new wrist pose; ball substeps + contacts
         wrist_pos, wrist_quat = self._wrist_state(sim)
         racket_pos, racket_normal = self._racket(wrist_pos, wrist_quat)
         (ball_pos, ball_vel, ball_vspin, contact, bounce, bpos, contact_now,
-         bounce_now, racket_vel) = self._ball_physics(
+         bounce_now, racket_vel, impulse) = self._ball_physics(
              state, racket_pos, racket_normal)
 
         # 7) bounce-in bookkeeping + estimate at contact (:284-313)
@@ -548,17 +716,12 @@ class TennisEnv:
             ball_pos, jnp.zeros((N, 4)).at[:, 3].set(1.0), ball_vel,
             B.spin_vector(ball_vel, ball_vspin)], axis=-1)
 
-        def with_estimate(_):
-            valid, ebp, ebt, emh = B.estimate_out(ball_state13, num_frames=90,
-                                                  p=self.ball_params)
-            return valid, ebp, ebt, emh
-
-        def without_estimate(_):
-            return (jnp.zeros(N, bool), jnp.zeros((N, 2)), jnp.zeros(N),
-                    jnp.zeros(N))
-
-        valid, ebp, ebt, emh = jax.lax.cond(
-            jnp.any(contact_now), with_estimate, without_estimate, None)
+        # At training scale some env contacts nearly every step, so a
+        # `lax.cond` on any(contact_now) would always take the expensive
+        # branch while adding a cross-shard all-reduce under SPMD — compute
+        # the estimate unconditionally and mask per env instead.
+        valid, ebp, ebt, emh = B.estimate_out(ball_state13, num_frames=90,
+                                              p=self.ball_params)
         upd = contact_now & valid
         est_bounce_pos = jnp.where(upd[:, None], ebp, state.est_bounce_pos)
         est_bounce_time = jnp.where(upd, ebt, state.est_bounce_time)
@@ -580,7 +743,8 @@ class TennisEnv:
             state, mvae=mvae, sim=sim, ball_pos=ball_pos, ball_vel=ball_vel,
             ball_vspin=ball_vspin, ball_traj=ball_traj,
             racket_pos=racket_pos, racket_vel=racket_vel,
-            racket_normal=racket_normal, has_contact=contact,
+            racket_normal=racket_normal, racket_impulse=impulse,
+            has_contact=contact,
             has_bounce=bounce, bounce_pos=bpos, bounce_in=bounce_in,
             est_bounce_pos=est_bounce_pos, est_bounce_time=est_bounce_time,
             est_bounce_in=est_bounce_in, est_max_height=est_max_height,
@@ -605,10 +769,16 @@ class TennisEnv:
         reset_reaction = self._reaction_trigger(new_state, tar_time,
                                                 contact_now)
 
+        # incoming ball for reaction transitions; `handoff_ok` gates netted
+        # dual hand-offs so those rallies terminate instead of tunneling
+        traj_new, lpos, lvel, lspin, handoff_ok = self._reaction_ball(
+            new_state, k_ball, ball_state13, reset_reaction)
+
         if cfg.enable_early_termination:
             terminate = terminate | (reset_recovery & ~contact) | ball_passed
             if cfg.reward_type.startswith("return_w_estimate"):
                 terminate = terminate | (contact & ~est_bounce_in)
+        terminate = terminate | (reset_reaction & ~handoff_ok)
 
         done = terminate | (progress >= cfg.max_episode_length - 1)
         terminate, done = self._couple_done(terminate, done)
@@ -622,8 +792,6 @@ class TennisEnv:
                                 new_state.bounce_pos)
 
         # apply reaction transition (:216-244): new incoming ball + target
-        traj_new, lpos, lvel, lspin = self._reaction_ball(
-            new_state, k_ball, ball_state13, reset_reaction)
         tt_new = (cfg.reset_reaction_nframes
                   + jax.random.randint(k_tt, (N,), -5, 5)).astype(jnp.int32)
         tgt_new = self._sample_target(k_tar, N)
@@ -663,14 +831,15 @@ class TennisEnv:
     # -- low-level policy obs ----------------------------------------------------
 
     def _low_level_obs(self, sim, dof_tar, tar_body_pos, tar_body_rot):
-        """Imitation-style obs for the frozen low-level policy: sim state vs
-        kinematic targets (reference `post_mvae_step` computing the low-level
-        obs from MVAE targets, humanoid_smpl_im_mvae.py:593-661)."""
+        """Imitation-style 734-dim obs for the frozen low-level policy: sim
+        state vs kinematic targets (reference `post_mvae_step` computing the
+        low-level obs from MVAE targets, humanoid_smpl_im_mvae.py:593-661).
+        Uses this player's real gender+betas body channel so the obs matches
+        what the policy saw in imitation training."""
         from .obs import compute_imitation_obs
 
         bp, bq, bl, ba = engine.fk_world(self.model, sim)
         dp = engine.dof_pos(sim)
         dv = engine.dof_vel(sim)
-        zeros_betas = jnp.zeros((bp.shape[0], 10))
         return compute_imitation_obs(bp, bq, tar_body_pos, tar_body_rot, dp,
-                                     dv, dof_tar, bl, ba, zeros_betas)
+                                     dv, dof_tar, bl, ba, self.motion_bodies)

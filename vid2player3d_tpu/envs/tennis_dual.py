@@ -30,7 +30,6 @@ the learner (`V2PPPO(num_policies=2)`, reference
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from ..tennis import ball as B
@@ -55,22 +54,46 @@ class DualTennisEnv(TennisEnv):
         return (1 - self._lane).astype(jnp.int32)
 
     def _post_reset(self, state: TennisState) -> TennisState:
-        """Park the recovery (odd) lane's ball out of play, receding, so the
-        miss/ball-passed logic can never fire before the first hand-off."""
+        """Rally opening = a synthesized serve from the recovery (odd) lane:
+        the server's ball launches from their racket with a random serve
+        velocity and the receiving (even) lane gets the mirrored incoming
+        flight (`humanoid_smpl_im_mvae_dual.py:52-63` sets the recovery
+        player's ball at their racket pos with vel x∈[-2,2], y∈[28,32],
+        z∈[5,8] and serve spin, then hands the in-estimate to the opponent)."""
         import dataclasses
 
+        import jax
+
         N = self.cfg.num_envs
-        waiting = (self._lane == 1)
-        park_pos = jnp.array([0.0, 30.0, 1.0])
-        park_vel = jnp.array([0.0, 5.0, 0.0])
-        w = waiting[:, None]
+        key = jax.random.fold_in(state.key, 77)
+        k1, k2, k3 = jax.random.split(key, 3)
+        receiving = (self._lane == 0)
+
+        vx = jax.random.uniform(k1, (N,), minval=-2.0, maxval=2.0)
+        vy = jax.random.uniform(k2, (N,), minval=28.0, maxval=32.0)
+        vz = jax.random.uniform(k3, (N,), minval=5.0, maxval=8.0)
+        serve_vel = jnp.stack([vx, vy, vz], axis=-1)
+        serve_pos = state.racket_pos
+        vspin = jnp.full((N,), 40.0 / (2 * jnp.pi))  # ang vel 40 rad/s topspin
+
+        # each lane's serve, mirrored into ITS OPPONENT's frame, is that
+        # opponent's incoming ball; gather via the lane-swap
+        mir = jnp.array([-1.0, -1.0, 1.0])
+        pos_in = (serve_pos * mir)[self._swap]
+        vel_in = (serve_vel * mir)[self._swap]
+        vspin_in = vspin[self._swap]
+        T = state.ball_traj.shape[1]
+        res = B.simulate_flight(pos_in, vel_in, vspin_in, num_frames=T,
+                                p=self.ball_params)
+
+        r = receiving[:, None]
         return dataclasses.replace(
             state,
-            ball_pos=jnp.where(w, park_pos, state.ball_pos),
-            ball_vel=jnp.where(w, park_vel, state.ball_vel),
-            ball_vspin=jnp.where(waiting, 0.0, state.ball_vspin),
-            ball_traj=jnp.where(waiting[:, None, None], park_pos,
-                                state.ball_traj))
+            # receiver: mirrored incoming serve; server: own outgoing ball
+            ball_pos=jnp.where(r, pos_in, serve_pos),
+            ball_vel=jnp.where(r, vel_in, serve_vel),
+            ball_vspin=jnp.where(receiving, vspin_in, vspin),
+            ball_traj=jnp.where(r[..., None], res.traj, state.ball_traj))
 
     def _reaction_trigger(self, state: TennisState, tar_time,
                           contact_now) -> jnp.ndarray:
@@ -80,28 +103,26 @@ class DualTennisEnv(TennisEnv):
     def _reaction_ball(self, state: TennisState, key, ball_state13,
                        reaction_mask):
         """Opponent's outgoing ball, mirrored into my court frame and flown
-        forward into the full incoming trajectory. Gated by `lax.cond` so the
-        flight re-simulation costs nothing on the (vast majority of) steps
-        with no hand-off."""
-        cfg = self.cfg
-        N = cfg.num_envs
+        forward into the full incoming trajectory. Computed unconditionally:
+        at training scale some pair hands off nearly every step, so a
+        `lax.cond` on any(reaction_mask) would always take the live branch
+        while adding a cross-shard all-reduce under SPMD.
+
+        `ok` = the re-simulated flight clears the net — a netted shot must
+        end the rally under every reward/termination config, not only the
+        `return_w_estimate` est_bounce_in path (the flight model has no net
+        collision, so an ungated hand-off would tunnel through)."""
         partner = ball_state13[self._swap]
-        T = cfg.ball_traj_pool_len
-
-        def live(_):
-            pos, vel, vspin = B._state_to_launch(partner)
-            mir = jnp.array([-1.0, -1.0, 1.0], pos.dtype)
-            pos_in = pos * mir
-            vel_in = vel * mir
-            res = B.simulate_flight(pos_in, vel_in, vspin, num_frames=T,
-                                    p=self.ball_params)
-            return res.traj, pos_in, vel_in, vspin
-
-        def dead(_):
-            return (jnp.zeros((N, T, 3)), jnp.zeros((N, 3)),
-                    jnp.zeros((N, 3)), jnp.zeros(N))
-
-        return jax.lax.cond(jnp.any(reaction_mask), live, dead, None)
+        # size the hand-off to the live trajectory window, which comes from
+        # the generator's traj length (may differ from ball_traj_pool_len)
+        T = state.ball_traj.shape[1]
+        pos, vel, vspin = B._state_to_launch(partner)
+        mir = jnp.array([-1.0, -1.0, 1.0], pos.dtype)
+        pos_in = pos * mir
+        vel_in = vel * mir
+        res = B.simulate_flight(pos_in, vel_in, vspin, num_frames=T,
+                                p=self.ball_params)
+        return res.traj, pos_in, vel_in, vspin, res.pass_net
 
     def _couple_done(self, terminate, done):
         # rally ends for both lanes together

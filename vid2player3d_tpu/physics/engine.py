@@ -532,12 +532,15 @@ def substep(model: ArticulationModel, state: ArticulationState, pd_targets,
 def control_step(model: ArticulationModel, state: ArticulationState, pd_targets,
                  root_force_w=None, root_torque_w=None, substeps: int = 4,
                  control_dt: float = 1.0 / 30.0,
-                 contact_params: ContactParams = ContactParams()):
+                 contact_params: ContactParams = ContactParams(),
+                 extra_force_w=None, extra_torque_w=None):
     """One control step = `substeps` physics substeps at control_dt/substeps.
 
     Mirrors `BaseTask.step`'s pre→simulate×control_freq_inv→post skeleton
     (`base_task.py:147-165`), fused under jit: the model unpack and spatial
     inertias are hoisted out of a `lax.scan` over identical substeps.
+    extra_force_w/extra_torque_w (N, J, 3): per-body world wrenches held
+    constant over the control step (e.g. ball-racket reaction coupling).
     """
     dt = control_dt / substeps
     msoa = _model_soa(model)
@@ -545,9 +548,11 @@ def control_step(model: ArticulationModel, state: ArticulationState, pd_targets,
     pd_tar = _slab(pd_targets.reshape(N, model.num_bodies - 1, 3))
     rf = soa.unpack(root_force_w) if root_force_w is not None else None
     rt = soa.unpack(root_torque_w) if root_torque_w is not None else None
+    ef = _slab(extra_force_w) if extra_force_w is not None else None
+    et = _slab(extra_torque_w) if extra_torque_w is not None else None
 
     def body(s, _):
-        s = _substep_soa(msoa, s, pd_tar, rf, rt, None, None, contact_params,
+        s = _substep_soa(msoa, s, pd_tar, rf, rt, ef, et, contact_params,
                          dt, False)
         return s, None
 

@@ -255,10 +255,11 @@ class TennisBallGenerator:
         self.launch_vspin = vspin[idx]
         self.pool_size = int(idx.size)
         # x-position-sorted order for opponent-position-conditioned sampling
-        # (reference `tennis_ball.py:446-456` sorts the offline pool by x)
-        self.x_order = jnp.argsort(self.bounce_x())
+        # (reference `tennis_ball.py:446-456` sorts the offline pool by
+        # start_pos x)
+        self.x_order = jnp.argsort(self.launch_x())
 
-    def bounce_x(self):
+    def launch_x(self):
         return self.launch_pos[:, 0]
 
     def sample(self, key, n: int):
@@ -305,7 +306,7 @@ class TennisBallGenerator:
         self.pool_size = int(self.traj_pool.shape[0])
         self.traj_length = int(self.traj_pool.shape[1])
         self.backend = "offline"
-        self.x_order = jnp.argsort(self.bounce_x())
+        self.x_order = jnp.argsort(self.launch_x())
         return self
 
 
