@@ -78,7 +78,14 @@ def test_env_integration():
                                          transform_specs=specs), lib, rng=0)
     state, obs, ctx = env.reset_all(jax.random.PRNGKey(0))
     assert ctx["conf"].shape[-1] == 24
-    assert np.asarray(ctx["conf"][..., 10]).max() == 0.0  # L_Toe masked
+    # context rb_pos is MUJOCO-ordered: L_Toe is index 4 there (index 10 in
+    # SMPL order — the named mask must resolve against the mujoco list)
+    from vid2player3d_tpu.core.smpl import MUJOCO_JOINT_NAMES
+
+    lt = MUJOCO_JOINT_NAMES.index("L_Toe")
+    rt = MUJOCO_JOINT_NAMES.index("R_Toe")
+    assert np.asarray(ctx["conf"][..., lt]).max() == 0.0
+    assert np.asarray(ctx["conf"][..., rt]).max() == 0.0
     # ground-truth channel (block 4) is NOT corrupted
     gt = np.asarray(ctx["feat"][..., 72 + 96 + 69:72 + 96 + 69 + 72])
-    assert np.abs(gt.reshape(gt.shape[0], gt.shape[1], 24, 3)[..., 10, :]).max() > 0.0
+    assert np.abs(gt.reshape(gt.shape[0], gt.shape[1], 24, 3)[..., lt, :]).max() > 0.0

@@ -90,6 +90,51 @@ for _p in ("federer", "nadal"):
     _register(dataclasses.replace(CONFIGS["djokovic_im"], name=f"{_p}_im",
                                   player=_p))
 
+# domain-randomized training (`base_task.py:250-445` randomization_params):
+# per-epoch model perturbation + per-step obs/action noise with a linear
+# ramp-in schedule
+from ..envs.domain_rand import RandSpec as _RS  # noqa: E402
+
+_register(_im(
+    "amass_im_dr",
+    "amass_im with domain randomization: mass/gain scaling + obs/action "
+    "noise on a linear schedule",
+    dataclasses.replace(
+        CONFIGS["amass_im"].env_im,
+        rand_specs=(
+            _RS(field="body_mass", distribution="uniform", rng=(0.9, 1.1),
+                operation="scaling"),
+            _RS(field="kp", distribution="uniform", rng=(0.85, 1.15),
+                operation="scaling"),
+            _RS(field="observations", distribution="gaussian",
+                rng=(0.0, 0.002), operation="additive",
+                schedule="linear", schedule_steps=3000),
+            _RS(field="actions", distribution="gaussian", rng=(0.0, 0.01),
+                operation="additive", schedule="linear",
+                schedule_steps=3000),
+        )),
+    CONFIGS["amass_im"].ppo,
+))
+
+# corrupted-context training: video-like context degradation + network-side
+# IK with aux supervised losses (`humanoid_smpl_im.py:565-592` transform
+# specs; `im_network_builder.py:78-138` context pipeline)
+from ..envs.corrupt import TransformSpecs as _TS  # noqa: E402
+
+_register(_im(
+    "amass_im_corrupt",
+    "amass_im with corrupted context (noisy+dropped joints) trained through "
+    "the network-side IK pipeline with aux supervised losses",
+    dataclasses.replace(
+        CONFIGS["amass_im"].env_im,
+        transform_specs=_TS(noisy_joints_prob=0.5,
+                            noisy_joints_noise_std=0.02,
+                            noisy_joints_conf_std=0.02,
+                            noisy_joints_min_conf=0.1,
+                            mask_random_joints_prob=0.05)),
+    dataclasses.replace(CONFIGS["amass_im"].ppo, use_context_ik=True),
+))
+
 
 # ---- high-level curriculum (vid2player/cfg/controller/*.yaml) ----------------
 

@@ -26,6 +26,13 @@ from .smpl import SMPL_PARENTS, smpl_children_map
 
 _EPS = 1e-8
 
+
+def _safe_norm(x, axis=-1, keepdims=True):
+    """Norm with a finite gradient at 0 (`jnp.linalg.norm`'s gradient is NaN
+    at exactly zero, which occluded/zeroed context joints hit when the IK is
+    differentiated through the learned twist heads)."""
+    return jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=keepdims) + 1e-12)
+
 # Topological levels of the SMPL tree (joints whose parents all appear in
 # earlier levels). Level 3 is the 3-child spine joint (Chest=9, fit by SVD
 # over Neck/L_Thorax/R_Thorax); the last level holds the leaves whose local
@@ -121,7 +128,7 @@ def batch_inverse_kinematics(pose_skeleton, phis, rest_pose, leaf_rotmats=None,
     # target skeleton re-rooted at the rest root
     final_pose = pose_skeleton - pose_skeleton[:, 0:1] + rel_rest[:, 0:1]
 
-    phis = phis / (jnp.linalg.norm(phis, axis=-1, keepdims=True) + _EPS)
+    phis = phis / (_safe_norm(phis) + _EPS)
 
     chain = jnp.zeros((B, 24, 3, 3), dtype)   # global rotations
     local = jnp.zeros((B, 24, 3, 3), dtype)   # local rotations
@@ -149,10 +156,15 @@ def batch_inverse_kinematics(pose_skeleton, phis, rest_pose, leaf_rotmats=None,
             rot = jnp.stack([leaf_rotmats[:, leaf_slot[j]] for j in level],
                             axis=1)
         elif level == [SPINE_JOINT]:
-            # 3-child SVD fit in the parent frame (`hybrik.py:776-815`)
+            # 3-child SVD fit in the parent frame (`hybrik.py:776-815`).
+            # The SVD's VJP is NaN for repeated singular values (common for
+            # degenerate/zeroed point sets), so the fit is treated as a
+            # data-driven constant: gradients to the learned phis still flow
+            # through every swing-twist joint.
             tgt = final_pose[:, SPINE_CHILDREN] - placed[:, 0:1]
             tgt = jnp.einsum("bji,bkj->bki", chain[:, parents[SPINE_JOINT]],
                              tgt)
+            tgt = jax.lax.stop_gradient(tgt)
             rst = rel_rest[:, SPINE_CHILDREN]
             rot = _kabsch(jnp.swapaxes(rst, 1, 2),
                           jnp.swapaxes(tgt, 1, 2))[:, None]
@@ -162,19 +174,17 @@ def batch_inverse_kinematics(pose_skeleton, phis, rest_pose, leaf_rotmats=None,
             rel_opt = final_pose[:, ch] - placed
             if ignore_outlier:
                 orig = rel_pose[:, ch]
-                t_norm = jnp.linalg.norm(rel_rest[:, ch], axis=-1,
-                                         keepdims=True)
-                orig = orig * t_norm / (
-                    jnp.linalg.norm(orig, axis=-1, keepdims=True) + _EPS)
-                diff = jnp.linalg.norm(rel_opt - orig, axis=-1, keepdims=True)
+                t_norm = _safe_norm(rel_rest[:, ch])
+                orig = orig * t_norm / (_safe_norm(orig) + _EPS)
+                diff = _safe_norm(rel_opt - orig)
                 rel_opt = jnp.where(diff > outlier_thresh, orig, rel_opt)
             child_final = jnp.einsum("bkji,bkj->bki", chain[:, par], rel_opt)
             child_rest = rel_rest[:, ch]
 
-            f_norm = jnp.linalg.norm(child_final, axis=-1, keepdims=True)
-            r_norm = jnp.linalg.norm(child_rest, axis=-1, keepdims=True)
+            f_norm = _safe_norm(child_final)
+            r_norm = _safe_norm(child_rest)
             axis = jnp.cross(child_rest, child_final)
-            a_norm = jnp.linalg.norm(axis, axis=-1, keepdims=True)
+            a_norm = _safe_norm(axis)
             cos = (child_rest * child_final).sum(-1, keepdims=True) / (
                 r_norm * f_norm + _EPS)
             sin = a_norm / (r_norm * f_norm + _EPS)

@@ -112,11 +112,18 @@ def quat_rotate_inverse(q, v):
 # ---------------------------------------------------------------------------
 
 def quat_to_angle_axis(q):
-    """Return (angle, axis); angle wrapped to (-pi, pi], axis defaults to +z near identity."""
+    """Return (angle, axis); angle wrapped to (-pi, pi], axis defaults to +z
+    near identity.
+
+    Formulated with atan2(|xyz|, w) instead of arccos(w): identical for unit
+    quaternions, but with finite gradients at identity (arccos' gradient is
+    ±inf at w = ±1, which poisons the where-masked branch with 0·inf = NaN
+    when differentiating through the context-IK chain)."""
     min_theta = 1e-5
     w = jnp.clip(q[..., 3], -1.0, 1.0)
-    sin_theta = jnp.sqrt(jnp.maximum(1 - w * w, 0.0))
-    angle = normalize_angle(2 * jnp.arccos(w))
+    s2 = jnp.sum(q[..., :3] * q[..., :3], axis=-1)
+    sin_theta = jnp.sqrt(jnp.maximum(s2, 1e-18))  # == sqrt(1-w²) for unit q
+    angle = normalize_angle(2 * jnp.arctan2(sin_theta, w))
     axis = q[..., :3] / jnp.maximum(sin_theta[..., None], _EPS)
     default_axis = jnp.zeros_like(axis).at[..., 2].set(1.0)
     mask = jnp.abs(sin_theta) > min_theta
@@ -136,7 +143,9 @@ def quat_to_exp_map(q):
 
 def exp_map_to_angle_axis(exp_map):
     min_theta = 1e-5
-    angle = jnp.linalg.norm(exp_map, axis=-1)
+    # safe norm: `jnp.linalg.norm`'s gradient is NaN at exactly 0 (identity)
+    angle = jnp.sqrt(jnp.maximum(
+        jnp.sum(exp_map * exp_map, axis=-1), 1e-18))
     axis = exp_map / jnp.maximum(angle[..., None], _EPS)
     angle = normalize_angle(angle)
     default_axis = jnp.zeros_like(exp_map).at[..., 2].set(1.0)
@@ -179,20 +188,28 @@ def rotmat_to_quat(m):
     m20, m21, m22 = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
     tr = m00 + m11 + m22
 
-    # four candidate solutions, pick the numerically best by largest pivot
-    qw0 = jnp.sqrt(jnp.maximum(1 + tr, 0.0)) / 2
+    # Four candidate solutions, pick the numerically best by largest pivot.
+    # The sqrt floor is 1e-12 (not 0): the winning pivot always has
+    # 1 + pivot ≥ 1 so the value is unchanged, but un-selected candidates at
+    # exactly 0 would otherwise produce inf·0 = NaN GRADIENTS through the
+    # zero-cotangent branch (sqrt'(0) = inf) — hit when differentiating the
+    # context-IK chain through identity rotations.
+    def _psqrt(x):
+        return jnp.sqrt(jnp.maximum(x, 1e-12)) / 2
+
+    qw0 = _psqrt(1 + tr)
     s0 = jnp.maximum(4 * qw0, _EPS)
     c0 = jnp.stack([(m21 - m12) / s0, (m02 - m20) / s0, (m10 - m01) / s0, qw0], axis=-1)
 
-    qx1 = jnp.sqrt(jnp.maximum(1 + m00 - m11 - m22, 0.0)) / 2
+    qx1 = _psqrt(1 + m00 - m11 - m22)
     s1 = jnp.maximum(4 * qx1, _EPS)
     c1 = jnp.stack([qx1, (m01 + m10) / s1, (m02 + m20) / s1, (m21 - m12) / s1], axis=-1)
 
-    qy2 = jnp.sqrt(jnp.maximum(1 - m00 + m11 - m22, 0.0)) / 2
+    qy2 = _psqrt(1 - m00 + m11 - m22)
     s2 = jnp.maximum(4 * qy2, _EPS)
     c2 = jnp.stack([(m01 + m10) / s2, qy2, (m12 + m21) / s2, (m02 - m20) / s2], axis=-1)
 
-    qz3 = jnp.sqrt(jnp.maximum(1 - m00 - m11 + m22, 0.0)) / 2
+    qz3 = _psqrt(1 - m00 - m11 + m22)
     s3 = jnp.maximum(4 * qz3, _EPS)
     c3 = jnp.stack([(m02 + m20) / s3, (m12 + m21) / s3, qz3, (m10 - m01) / s3], axis=-1)
 

@@ -31,7 +31,7 @@ from ..core import smpl as S
 from ..data import motion_lib as ML
 from ..physics import asset, engine
 from ..physics.model import ArticulationModel, ArticulationState, ContactParams
-from . import corrupt
+from . import corrupt, domain_rand
 from .obs import compute_imitation_obs, dof_to_obs
 
 
@@ -60,6 +60,10 @@ class HumanoidImConfig:
         ("w_dof", 0.6), ("w_vel", 0.1), ("w_pos", 0.2), ("w_rot", 0.1))
     # context corruption (`humanoid_smpl_im.py:565-592`); None = clean context
     transform_specs: Optional["corrupt.TransformSpecs"] = None
+    # domain randomization (`base_task.py:250-445`); None = off. Model
+    # perturbations re-draw per epoch in the learner (the fused analog of
+    # the reference's reset-path randomization), obs/action noise per step.
+    rand_specs: Optional[Tuple["domain_rand.RandSpec", ...]] = None
 
     @property
     def res_torque_scale(self) -> float:
@@ -142,6 +146,19 @@ class HumanoidImEnv:
         th[self.head_id] = max(cfg.termination_head_height, th[self.head_id])
         self.termination_heights = jnp.asarray(th)
 
+        # per-env rest joint positions in SMPL order, for the network-side
+        # context IK (`im_network_builder.py:44 smpl_rest_joints`): global
+        # rest pose accumulated over the (identity-rotation) tree
+        off = np.asarray(self.model.joint_pos)        # (N, 24, 3) mujoco order
+        rest = np.zeros_like(off)
+        for j in range(1, 24):
+            rest[:, j] = rest[:, self.model.parents[j]] + off[:, j]
+        self.rest_joints_smpl = jnp.asarray(rest[:, S.MUJOCO_2_SMPL])
+
+        # domain randomization engine (`base_task.py:250-445`)
+        self.randomizer = domain_rand.DomainRandomizer(cfg.rand_specs) \
+            if cfg.rand_specs else None
+
         self.obs_dim = 24 * 3 + 24 * 4 + 69 + 69 + 24 * 3 + 24 * 3 + bodies.shape[-1]
         self.num_actions = cfg.num_actions
 
@@ -152,7 +169,7 @@ class HumanoidImEnv:
     # extracts the pytree; `with_arrays()` rebinds traced values at trace time.
 
     ARRAY_FIELDS = ("model", "motion_ids", "motion_bodies",
-                    "termination_heights", "lib")
+                    "termination_heights", "lib", "rest_joints_smpl")
 
     def arrays(self) -> Dict[str, object]:
         return {f: getattr(self, f) for f in self.ARRAY_FIELDS}
@@ -186,6 +203,8 @@ class HumanoidImEnv:
         env.motion_bodies = parallel.shard_leading_axis(self.motion_bodies,
                                                         mesh, axis)
         env.model = parallel.shard_leading_axis(self.model, mesh, axis)
+        env.rest_joints_smpl = parallel.shard_leading_axis(
+            self.rest_joints_smpl, mesh, axis)
         env.termination_heights = parallel.replicate(self.termination_heights,
                                                      mesh)
         env.lib = parallel.replicate(self.lib, mesh)
@@ -288,8 +307,11 @@ class HumanoidImEnv:
         conf = jnp.ones((N, L, 24), rb_pos.dtype)
         if cfg.transform_specs is not None and cfg.transform_specs.active:
             ck = key if key is not None else jax.random.PRNGKey(0)
+            # rb_pos is mujoco-ordered — named joint masks must resolve
+            # against the mujoco name list
             obs_pos, conf = corrupt.corrupt_body_pos(
-                ck, rb_pos.reshape(N, L, 24, 3), cfg.transform_specs)
+                ck, rb_pos.reshape(N, L, 24, 3), cfg.transform_specs,
+                body_names=tuple(S.MUJOCO_JOINT_NAMES))
             obs_pos = obs_pos.reshape(N, L, -1)
 
         feat = jnp.concatenate([obs_pos, rb_rot, dof, rb_pos, dof], axis=-1)

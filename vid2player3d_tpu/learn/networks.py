@@ -46,6 +46,27 @@ class ActorCritic(nn.Module):
         return mu, value[..., 0]
 
 
+class ContextHeads(nn.Module):
+    """Context encoder for the corrupted-context IK pipeline
+    (`embodied_pose/models/im_network_builder.py:78-115 perform_ik`): consumes
+    the (possibly corrupted) root-relative context joint positions + the
+    per-joint confidence channel and predicts the twist residuals (phis,
+    23×2) and leaf-rotation residuals (5×rot6d) that parameterize the
+    analytic IK. Outputs are zero-initialized so training starts from the
+    identity-twist IK solution."""
+
+    units: Sequence[int] = (256, 128)
+
+    @nn.compact
+    def __call__(self, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        h = MLP(self.units, name="ctx_mlp")(x)
+        phis = nn.Dense(46, kernel_init=nn.initializers.zeros,
+                        name="phis")(h)
+        leaf6d = nn.Dense(30, kernel_init=nn.initializers.zeros,
+                          name="leaf6d")(h)
+        return phis, leaf6d
+
+
 # aliases documenting the correspondence to the reference builders
 ImitatorNet = ActorCritic   # im_network_builder.py ImitatorBuilder.Network
 V2PNet = ActorCritic        # v2p_network_builder.py V2PBuilder.Network

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from ..core import quat as Q
 from ..envs.humanoid_im import HumanoidImEnv
 from . import running_norm as RN
 from .networks import ImitatorNet
@@ -56,6 +57,14 @@ class PPOConfig:
     kl_threshold: float = 0.008
     min_lr: float = 1e-6
     max_lr: float = 1e-2
+    # network-side context pipeline (`im_network_builder.py:78-138`): IK the
+    # (possibly corrupted) context joint positions with learned twist/leaf
+    # residuals, consume the confidence channel, and supervise the IK
+    # reconstruction with aux dof-rot6d / body-pos losses
+    # (`humanoid_smpl_im.py:694-722`, `im_agent.py:527-535`)
+    use_context_ik: bool = False
+    aux_w_dof: float = 1.0
+    aux_w_pos: float = 10.0
 
 
 @jax.tree_util.register_pytree_node_class
@@ -116,6 +125,13 @@ class ImitationPPO:
         self.net = ImitatorNet(num_actions=self.num_actions)
         key = jax.random.PRNGKey(seed)
         params = self.net.init(key, jnp.zeros((1, self.obs_dim)))
+        if cfg.use_context_ik:
+            from .networks import ContextHeads
+
+            self.ctx_net = ContextHeads()
+            ctx_params = self.ctx_net.init(
+                jax.random.fold_in(key, 1), jnp.zeros((1, 24 * 3 + 24)))
+            params = {"ac": params, "ctx": ctx_params}
         # lr applied manually in the minibatch step so the adaptive schedule can
         # ride through lax.scan as a carried scalar
         self.tx = optax.chain(
@@ -172,21 +188,73 @@ class ImitationPPO:
 
     # -- policy forward -------------------------------------------------------
 
+    def _ac(self, params):
+        """Actor-critic subtree of the params pytree (context-IK mode nests
+        {'ac', 'ctx'})."""
+        return params["ac"] if self.cfg.use_context_ik else params
+
     def _ctx_frame(self, ctx_feat, t):
-        """Context frame at rollout step t (index pad + t)."""
+        """Context frame at rollout step t (index pad + t). Feature layout
+        (`humanoid_im.init_context`): [obs_pos 72 | rot 96 | dof 69 |
+        pos_gt 72 | dof_gt 69]."""
         idx = self.env.cfg.context_padding + t
         f = jax.lax.dynamic_index_in_dim(ctx_feat, idx, axis=1, keepdims=False)
         N = f.shape[0]
         return (f[:, :72].reshape(N, 24, 3), f[:, 72:168].reshape(N, 24, 4),
-                f[:, 168:237])
+                f[:, 168:237], f[:, 237:309].reshape(N, 24, 3),
+                f[:, 309:378])
 
-    def _forward(self, env, params, obs_norm, raw_obs, ctx_feat, t):
+    def _context_targets(self, params, ctx_pos_mj, conf_mj, rest_smpl):
+        """Context-IK stage (`im_network_builder.py:78-115 perform_ik`): the
+        (possibly corrupted) context joint positions + confidence channel →
+        learned twist/leaf residuals → analytic IK → imitation targets.
+
+        ctx_pos_mj (B,24,3) mujoco-order positions; conf_mj (B,24);
+        rest_smpl (B,24,3) SMPL-order rest pose. Returns
+        (tgt_dof (B,69), tgt_pos (B,24,3), tgt_rot quat (B,24,4),
+        local_mj (B,24,3,3))."""
+        from ..core import ik as IK
+        from ..core import rot as Rt
+        from ..core import smpl as S
+
+        B = ctx_pos_mj.shape[0]
+        pos_smpl = ctx_pos_mj[:, S.MUJOCO_2_SMPL]
+        conf_smpl = conf_mj[:, S.MUJOCO_2_SMPL]
+        xin = jnp.concatenate(
+            [(pos_smpl - pos_smpl[:, :1]).reshape(B, 72), conf_smpl], axis=-1)
+        phis, leaf6d = self.ctx_net.apply(params["ctx"], xin)
+        local, chain, joints = IK.perform_context_ik(pos_smpl, rest_smpl,
+                                                     phis, leaf6d)
+        local_mj = local[:, S.SMPL_2_MUJOCO]
+        chain_mj = chain[:, S.SMPL_2_MUJOCO]
+        joints_mj = joints[:, S.SMPL_2_MUJOCO]
+        tgt_dof = Rt.rotmat_to_angle_axis(
+            local_mj[:, 1:].reshape(-1, 3, 3)).reshape(B, 69)
+        tgt_rot = Q.rotmat_to_quat(chain_mj)
+        return tgt_dof, joints_mj, tgt_rot, local_mj
+
+    def _forward(self, env, params, obs_norm, raw_obs, ctx_feat, t,
+                 ctx_conf=None):
         """raw env obs + context → (imitation_obs, normalized_obs, mu, value_norm,
-        target_dof). mu includes the residual action."""
-        cb_pos, cb_rot, c_dof = self._ctx_frame(ctx_feat, t)
-        io = env.imitation_obs(raw_obs, cb_pos, cb_rot, c_dof)
+        target_dof). mu includes the residual action. In context-IK mode the
+        targets come from the IK of the (corrupted) context positions, not
+        the ground-truth channels."""
+        cb_pos, cb_rot, c_dof, _, _ = self._ctx_frame(ctx_feat, t)
+        if self.cfg.use_context_ik:
+            if ctx_conf is None:
+                conf = jnp.ones(cb_pos.shape[:-1], cb_pos.dtype)
+            else:
+                idx = self.env.cfg.context_padding + t
+                conf = jax.lax.dynamic_index_in_dim(ctx_conf, idx, axis=1,
+                                                    keepdims=False)
+            tgt_dof, tgt_pos, tgt_rot, _ = self._context_targets(
+                params, cb_pos, conf, env.rest_joints_smpl)
+            io = env.imitation_obs(raw_obs, tgt_pos, tgt_rot, tgt_dof)
+            c_dof = tgt_dof
+        else:
+            io = env.imitation_obs(raw_obs, cb_pos, cb_rot, c_dof)
         io_n = RN.normalize(obs_norm, io, self.cfg.obs_clip)
-        mu, value = self.net.apply(params, io_n)
+        mu, value = self.net.apply(self._ac(params), io_n)
         mu = mu.at[:, :69].add(c_dof)  # residual action (`im_network_builder.py:226-229`)
         return io, io_n, mu, value, c_dof
 
@@ -197,12 +265,16 @@ class ImitationPPO:
         k_reset, k_act = jax.random.split(key)
         env_state, raw_obs, ctx = env.reset_all(k_reset)
         ctx_feat = ctx["feat"]
+        ctx_conf = ctx.get("conf") if cfg.use_context_ik else None
+
+        dr = env.randomizer
+        dr_step = ts.epoch * cfg.horizon
 
         def step_fn(carry, t):
             env_state, raw_obs, key = carry
-            key, k = jax.random.split(key)
+            key, k, k_dr = jax.random.split(key, 3)
             io, io_n, mu, v_norm, c_dof = self._forward(
-                env, ts.params, ts.obs_norm, raw_obs, ctx_feat, t)
+                env, ts.params, ts.obs_norm, raw_obs, ctx_feat, t, ctx_conf)
             value = RN.unnormalize_value(ts.val_norm, v_norm[:, None])[:, 0] \
                 if cfg.normalize_value else v_norm
             alive = (env_state.reset_buf == 0).astype(jnp.float32)
@@ -211,7 +283,13 @@ class ImitationPPO:
             action = mu + self.sigma[None] * noise
             neglogp = diag_gaussian_neglogp(action, mu, self.sigma[None])
 
-            env_state2, out = env.step(env_state, action)
+            # domain-rand action noise applied to what the env executes
+            # (`base_task.py:276-287`); the stored action stays the policy's
+            env_action = dr.randomize_actions(k_dr, action, dr_step) \
+                if dr is not None and dr.act_specs else action
+            env_state2, out = env.step(env_state, env_action)
+            obs_next = dr.randomize_obs(k_dr, out.obs, dr_step) \
+                if dr is not None and dr.obs_specs else out.obs
 
             store = dict(obs=io, action=action, mu=mu, neglogp=neglogp,
                          value=value, reward=out.reward,
@@ -219,7 +297,20 @@ class ImitationPPO:
                          terminate=out.terminate.astype(jnp.float32),
                          alive=alive,
                          sub_rewards=out.sub_rewards, ctx_dof=c_dof)
-            return (env_state2, out.obs, key), store
+            if cfg.use_context_ik:
+                # the train-time forward re-runs the context IK with grads
+                # (the reference re-runs forward_context flattened over time,
+                # `im_network_builder.py:162-170`), so the minibatches carry
+                # the raw state + per-step context blocks instead of the
+                # finished observation
+                cb_pos, _, _, gt_pos, gt_dof = self._ctx_frame(ctx_feat, t)
+                idx = env.cfg.context_padding + t
+                conf = jax.lax.dynamic_index_in_dim(ctx_conf, idx, axis=1,
+                                                    keepdims=False)
+                store.update(raw_obs=raw_obs, ctx_pos=cb_pos, ctx_conf=conf,
+                             gt_pos=gt_pos, gt_dof=gt_dof,
+                             rest=env.rest_joints_smpl)
+            return (env_state2, obs_next, key), store
 
         (env_state, last_obs, _), traj = jax.lax.scan(
             step_fn, (env_state, raw_obs, k_act), jnp.arange(cfg.horizon))
@@ -229,7 +320,8 @@ class ImitationPPO:
         # instead of a second policy forward per step; one extra forward for
         # the final obs closes the horizon.
         _, _, _, vn_last, _ = self._forward(env, ts.params, ts.obs_norm,
-                                            last_obs, ctx_feat, cfg.horizon)
+                                            last_obs, ctx_feat, cfg.horizon,
+                                            ctx_conf)
         v_last = RN.unnormalize_value(ts.val_norm, vn_last[:, None])[:, 0] \
             if cfg.normalize_value else vn_last
         v_next = jnp.concatenate([traj["value"][1:], v_last[None]], axis=0)
@@ -257,9 +349,42 @@ class ImitationPPO:
 
     def _loss(self, params, batch, obs_norm, sigma):
         cfg = self.cfg
-        io_n = RN.normalize(obs_norm, batch["obs"], cfg.obs_clip)
-        mu_raw, v_norm = self.net.apply(params, io_n)
-        mu = mu_raw.at[..., :69].add(batch["ctx_dof"])
+        aux = {}
+        if cfg.use_context_ik:
+            # re-run the context IK with gradients flowing into the twist/
+            # leaf heads; the observation itself depends on the IK targets.
+            # Minibatch leaves carry leading (dp, mb) dims — flatten for the
+            # shape-sensitive IK/obs path, restore for the masked losses.
+            lead = batch["action"].shape[:-1]
+            tgt_dof, tgt_pos, tgt_rot, local_mj = self._context_targets(
+                params, batch["ctx_pos"].reshape(-1, 24, 3),
+                batch["ctx_conf"].reshape(-1, 24),
+                batch["rest"].reshape(-1, 24, 3))
+            io = self.env.imitation_obs(
+                batch["raw_obs"].reshape(-1, batch["raw_obs"].shape[-1]),
+                tgt_pos, tgt_rot, tgt_dof)
+            io = io.reshape(lead + io.shape[-1:])
+            ctx_dof = tgt_dof.reshape(lead + (69,))
+            # aux supervised context losses (`humanoid_smpl_im.py:694-722`):
+            # IK dof rot6d vs GT dof rot6d; IK body pos vs GT body pos
+            from ..core import rot as Rt
+
+            B = tgt_dof.shape[0]
+            gt_rotmat = Q.quat_to_rotmat(
+                Q.exp_map_to_quat(batch["gt_dof"].reshape(B, 23, 3)))
+            gt6 = Rt.rotmat_to_rot6d(gt_rotmat.reshape(-1, 3, 3)).reshape(
+                B, -1)
+            ik6 = Rt.rotmat_to_rot6d(
+                local_mj[:, 1:].reshape(-1, 3, 3)).reshape(B, -1)
+            aux["aux_dof_loss"] = ((ik6 - gt6) ** 2).mean(-1).reshape(lead)
+            aux["aux_pos_loss"] = ((tgt_pos - batch["gt_pos"].reshape(
+                -1, 24, 3)) ** 2).mean((-1, -2)).reshape(lead)
+        else:
+            io = batch["obs"]
+            ctx_dof = batch["ctx_dof"]
+        io_n = RN.normalize(obs_norm, io, cfg.obs_clip)
+        mu_raw, v_norm = self.net.apply(self._ac(params), io_n)
+        mu = mu_raw.at[..., :69].add(ctx_dof)
         neglogp = diag_gaussian_neglogp(batch["action"], mu, sigma[None])
 
         ratio = jnp.exp(batch["old_neglogp"] - neglogp)
@@ -285,6 +410,13 @@ class ImitationPPO:
         kl = masked(policy_kl(mu, sigma[None], batch["old_mu"], sigma[None]))
         stats = dict(a_loss=masked(a_loss), c_loss=masked(c_loss),
                      b_loss=masked(b_loss), clip_frac=masked(clipped), kl=kl)
+        if cfg.use_context_ik:
+            # alive-masked aux losses added to the PPO objective
+            # (`im_agent.py:527-535` env aux losses)
+            aux_dof = masked(aux["aux_dof_loss"])
+            aux_pos = masked(aux["aux_pos_loss"])
+            loss = loss + cfg.aux_w_dof * aux_dof + cfg.aux_w_pos * aux_pos
+            stats.update(aux_dof_loss=aux_dof, aux_pos_loss=aux_pos)
         return loss, stats
 
     # -- epoch ----------------------------------------------------------------
@@ -299,7 +431,18 @@ class ImitationPPO:
     def _epoch(self, ts: TrainState, env_arrays) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         cfg = self.cfg
         env = self.env.with_arrays(env_arrays)
-        key, k_roll, k_shuffle = jax.random.split(ts.key, 3)
+        key, k_roll, k_shuffle, k_dr = jax.random.split(ts.key, 4)
+
+        # domain randomization: fresh per-env model perturbation each epoch
+        # — every env re-initializes at epoch start, so this is the fused
+        # analog of the reference's reset-path randomization with schedules
+        # (`base_task.py:250-445`); schedule runs on policy steps
+        if env.randomizer is not None and env.randomizer.model_specs:
+            dr_step = ts.epoch * cfg.horizon
+            env = env.with_arrays({
+                **env_arrays,
+                "model": env.randomizer.randomize_model(
+                    k_dr, env_arrays["model"], step=dr_step)})
 
         traj = self._rollout(env, ts, k_roll)
         advs = self._gae(traj)
@@ -350,6 +493,11 @@ class ImitationPPO:
             obs=obs_f, action=flat(traj["action"]), old_mu=flat(traj["mu"]),
             old_neglogp=flat(traj["neglogp"]), adv=adv_f,
             return_norm=ret_norm_f, alive=alive_f, ctx_dof=ctx_dof_f)
+        if cfg.use_context_ik:
+            for k2 in ("raw_obs", "ctx_pos", "ctx_conf", "gt_pos", "gt_dof",
+                       "rest"):
+                batch_all[k2] = flat(traj[k2])
+            del batch_all["obs"]  # train forward recomputes io from raw+ctx
 
         mb_local = cfg.minibatch_size // dp
 

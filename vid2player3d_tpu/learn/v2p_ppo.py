@@ -77,9 +77,13 @@ class V2PTrainState:
 class V2PPPO:
 
     def __init__(self, env: TennisEnv, cfg: V2PConfig = V2PConfig(),
-                 seed: int = 7):
+                 seed: int = 7, mesh=None):
         self.env = env
         self.cfg = cfg
+        self.mesh = mesh
+        self.dp = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+        assert env.cfg.num_envs % self.dp == 0
+        assert cfg.minibatch_size % self.dp == 0
         self.num_actions = env.num_actions
         self.obs_dim = env.obs_dim
         self.net = V2PNet(num_actions=self.num_actions,
@@ -109,22 +113,53 @@ class V2PPPO:
         k_env, key = jax.random.split(self._key0)
         env_state, obs = self.env.reset_all(k_env)
         params = jax.tree_util.tree_map(jnp.copy, self._init_params)
-        return V2PTrainState(
+        obs_norm = getattr(self, "_init_obs_norm", None) or \
+            RN.RunningNormState.create(self.obs_dim)
+        val_norm = getattr(self, "_init_val_norm", None) or \
+            RN.RunningNormState.create(1)
+        ts = V2PTrainState(
             params=params, opt_state=self.tx.init(params),
-            obs_norm=RN.RunningNormState.create(self.obs_dim),
-            val_norm=RN.RunningNormState.create(1),
+            obs_norm=jax.tree_util.tree_map(jnp.copy, obs_norm),
+            val_norm=jax.tree_util.tree_map(jnp.copy, val_norm),
             env_state=env_state, last_obs=obs, key=key,
             epoch=jnp.zeros((), jnp.int32),
             lr=jnp.asarray(self.cfg.learning_rate, jnp.float32))
+        if self.mesh is not None:
+            from vid2player3d_tpu import parallel
+
+            ts = V2PTrainState(
+                params=parallel.replicate(ts.params, self.mesh),
+                opt_state=parallel.replicate(ts.opt_state, self.mesh),
+                obs_norm=parallel.replicate(ts.obs_norm, self.mesh),
+                val_norm=parallel.replicate(ts.val_norm, self.mesh),
+                env_state=parallel.shard_leading_axis(ts.env_state,
+                                                      self.mesh),
+                last_obs=parallel.shard_leading_axis(ts.last_obs, self.mesh),
+                key=parallel.replicate(ts.key, self.mesh),
+                epoch=parallel.replicate(ts.epoch, self.mesh),
+                lr=parallel.replicate(ts.lr, self.mesh))
+        return ts
 
     def load_stage_checkpoint(self, path: str, discard_sigma: bool = True):
         """Warm-start from a previous curriculum stage with zero-pad surgery
-        on grown obs/action dims (`v2p_agent.py:46-96`)."""
-        self._init_params = CK.load_pytree_with_surgery(path,
-                                                        self._init_params)
+        on grown obs/action dims (`v2p_agent.py:46-96`). Running obs/value
+        normalizers are restored too — the reference migrates running stats
+        explicitly (`im_agent.py:141-155`); grown obs dims pad mean=0/var=1.
+        A single-policy checkpoint tiles into dual stacked params."""
+        like = {"params": self._init_params,
+                "obs_norm": RN.RunningNormState.create(self.obs_dim),
+                "val_norm": RN.RunningNormState.create(1)}
+        loaded = CK.load_pytree_with_surgery(
+            path, like, fill_overrides={"var": 1.0})
+        self._init_params = loaded["params"]
+        self._init_obs_norm = loaded["obs_norm"]
+        self._init_val_norm = loaded["val_norm"]
 
     def save_checkpoint(self, path: str, ts: V2PTrainState):
-        CK.save_pytree(path, ts.params)
+        """Persist policy + running normalizers (matching `ImitationPPO`;
+        weights alone silently pair with fresh zero-mean stats on reload)."""
+        CK.save_pytree(path, {"params": ts.params, "obs_norm": ts.obs_norm,
+                              "val_norm": ts.val_norm})
 
     # -- forward ---------------------------------------------------------------
 
@@ -148,11 +183,18 @@ class V2PPPO:
 
     # -- epoch -------------------------------------------------------------------
 
-    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def train_epoch(self, ts: V2PTrainState
                     ) -> Tuple[V2PTrainState, Dict[str, jnp.ndarray]]:
+        """Env arrays enter as a real jit argument so their P('data')
+        shardings anchor the SPMD partitioner (same contract as
+        `ImitationPPO.train_epoch`)."""
+        return self._epoch(ts, self.env.arrays())
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def _epoch(self, ts: V2PTrainState, env_arrays
+               ) -> Tuple[V2PTrainState, Dict[str, jnp.ndarray]]:
         cfg = self.cfg
-        env = self.env
+        env = self.env.with_arrays(env_arrays)
         key, k_roll, k_shuffle = jax.random.split(ts.key, 3)
 
         def step_fn(carry, t):
@@ -165,21 +207,27 @@ class V2PPPO:
             neglogp = diag_gaussian_neglogp(action, mu, self.sigma[None])
 
             env_state2, out = env.step(env_state, action)
-            _, vn_next = self._forward(ts.params, ts.obs_norm, out.obs)
-            v_next = RN.unnormalize_value(ts.val_norm, vn_next[:, None])[:, 0] \
-                if cfg.normalize_value else vn_next
-            next_value = v_next * (1.0 - out.terminate.astype(jnp.float32))
 
             store = dict(obs=obs, action=action, mu=mu, neglogp=neglogp,
-                         value=value, next_value=next_value,
-                         reward=out.reward,
+                         value=value, reward=out.reward,
                          done=out.done.astype(jnp.float32),
+                         terminate=out.terminate.astype(jnp.float32),
                          sub_rewards=out.sub_rewards)
             return (env_state2, out.obs, key), store
 
         (env_state, last_obs, _), traj = jax.lax.scan(
             step_fn, (ts.env_state, ts.last_obs, k_roll),
             jnp.arange(cfg.horizon))
+
+        # next-value bootstrap (`im_agent.py:348-359` computes next_vals once
+        # per step): v(obs_{t+1}) equals the value at loop top t+1, so carry
+        # it instead of a second policy forward per step; one extra forward
+        # for the final obs closes the horizon.
+        _, vn_last = self._forward(ts.params, ts.obs_norm, last_obs)
+        v_last = RN.unnormalize_value(ts.val_norm, vn_last[:, None])[:, 0] \
+            if cfg.normalize_value else vn_last
+        v_next = jnp.concatenate([traj["value"][1:], v_last[None]], axis=0)
+        traj["next_value"] = v_next * (1.0 - traj["terminate"])
 
         # GAE (common_agent.py:423-435), done resets the accumulator
         def gae_fn(lastgaelam, x):
@@ -194,10 +242,16 @@ class V2PPPO:
              traj["done"]), reverse=True)
         returns = advs + traj["value"]
 
-        B = cfg.horizon * env.cfg.num_envs
+        T, N = cfg.horizon, env.cfg.num_envs
+        B = T * N
+        dp = self.dp
+        local_B = B // dp
 
         def flat(x):
-            return x.reshape((B,) + x.shape[2:])
+            """(T, N, ...) → (dp, local_B, ...), env-axis major so each
+            block stays on its own shard under SPMD (dp=1 → (1, B, ...))."""
+            x = jnp.swapaxes(x, 0, 1)
+            return x.reshape((dp, local_B) + x.shape[2:])
 
         obs_f = flat(traj["obs"])
         obs_norm_next = RN.update(ts.obs_norm, obs_f)  # effective next epoch
@@ -211,13 +265,16 @@ class V2PPPO:
         if cfg.normalize_advantage:
             adv_f = (adv_f - adv_f.mean()) / (adv_f.std() + 1e-8)
 
+        lane_tn = jnp.broadcast_to(self._lane[None], (T, N))
         batch_all = dict(obs=obs_f, action=flat(traj["action"]),
                          old_mu=flat(traj["mu"]),
                          old_neglogp=flat(traj["neglogp"]), adv=adv_f,
                          return_norm=ret_norm_f,
-                         lane=jnp.tile(self._lane, cfg.horizon))
+                         lane=flat(lane_tn))
 
         def loss_fn(params, mb):
+            # flatten the (dp, mb_local) leading dims — per-sample losses
+            mb = {k2: v.reshape((-1,) + v.shape[2:]) for k2, v in mb.items()}
             obs_n = RN.normalize(ts.obs_norm, mb["obs"], cfg.obs_clip)
             mu, v_norm = self._apply(params, obs_n, mb["lane"])
             neglogp = diag_gaussian_neglogp(mb["action"], mu,
@@ -242,17 +299,25 @@ class V2PPPO:
             return loss, dict(a_loss=a_loss, c_loss=c_loss, b_loss=b_loss,
                               kl=kl)
 
-        mb_size = cfg.minibatch_size
+        mb_local = cfg.minibatch_size // dp
 
         def mini_epoch(carry, k):
             params, opt_state, lr = carry
-            perm = jax.random.permutation(k, B)
+            # per-shard permutation (each data-parallel block shuffles its
+            # own local_B samples — no cross-shard gathers)
+            perm = jax.vmap(lambda kk: jax.random.permutation(kk, local_B))(
+                jax.random.split(k, dp))                  # (dp, local_B)
 
             def mb_step(carry, i):
                 params, opt_state, lr = carry
-                idx = jax.lax.dynamic_slice_in_dim(perm, i * mb_size,
-                                                   mb_size)
-                mb = {k2: v[idx] for k2, v in batch_all.items()}
+                idx = jax.lax.dynamic_slice_in_dim(
+                    perm, i * mb_local, mb_local, axis=1)  # (dp, mb_local)
+
+                def take(v):
+                    ix = idx.reshape(idx.shape + (1,) * (v.ndim - 2))
+                    return jnp.take_along_axis(v, ix, axis=1)
+
+                mb = {k2: take(v) for k2, v in batch_all.items()}
                 (loss, stats), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(params, mb)
                 updates, opt_state = self.tx.update(grads, opt_state, params)

@@ -55,12 +55,24 @@ def load_pytree(path: str, like: Any) -> Any:
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
-def load_pytree_with_surgery(path: str, like: Any) -> Any:
+def load_pytree_with_surgery(path: str, like: Any,
+                             fill_overrides: Dict[str, float] = None) -> Any:
     """Like `load_pytree`, but 2-D kernels whose input dim grew are zero-
     padded at the bottom (new obs features contribute nothing initially) and
     kernels/biases whose output dim grew are zero-padded on the right (new
-    action dims start at zero) — reference `v2p_agent.py:60-88`."""
+    action dims start at zero) — reference `v2p_agent.py:60-88`.
+
+    A leaf with one MISSING leading axis (e.g. a single-policy checkpoint
+    loaded into a dual `num_policies=2` stacked-params tree) is tiled across
+    that axis first, so each lane warm-starts from the same pretrained net
+    (the reference loads per-player single checkpoints into each dual net,
+    `v2p_player.py:21-111`).
+
+    fill_overrides: {key-substring: fill value} — pads matching leaves with
+    that value instead of 0 (e.g. running-norm `var` pads with 1 so new obs
+    dims normalize as unit variance instead of exploding)."""
     data = np.load(path)
+    fill_overrides = fill_overrides or {}
     leaves_paths = jax.tree_util.tree_flatten_with_path(like)[0]
     treedef = jax.tree_util.tree_structure(like)
     out = []
@@ -73,14 +85,20 @@ def load_pytree_with_surgery(path: str, like: Any) -> Any:
             out.append(tgt)  # brand-new parameter: keep fresh init
             continue
         src = np.asarray(data[key])
+        if src.ndim == tgt.ndim - 1 and tgt.ndim >= 1:
+            src = np.repeat(src[None], tgt.shape[0], axis=0)
         if src.shape != tgt.shape:
-            src = _pad_to(src, tgt.shape)
+            fill = 0.0
+            for sub, v in fill_overrides.items():
+                if sub in key:
+                    fill = v
+            src = _pad_to(src, tgt.shape, fill)
         out.append(src.astype(tgt.dtype))
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
-def _pad_to(src: np.ndarray, shape) -> np.ndarray:
+def _pad_to(src: np.ndarray, shape, fill: float = 0.0) -> np.ndarray:
     if src.ndim != len(shape) or any(s > t for s, t in zip(src.shape, shape)):
         raise ValueError(f"cannot pad {src.shape} -> {tuple(shape)}")
     pad = [(0, t - s) for s, t in zip(src.shape, shape)]
-    return np.pad(src, pad)
+    return np.pad(src, pad, constant_values=fill)
