@@ -72,9 +72,11 @@ def convert_amass_sequence(
     motion = SkeletonMotion(tree=tree, local_rotation=local_q.astype(np.float32),
                             root_translation=root_t.astype(np.float32), fps=fps)
 
-    # min world-z over posed vertices, subsampled frames
+    # min world-z over posed vertices, subsampled frames (betas broadcast to
+    # the frame batch — lbs requires matching leading dims)
     idx = np.linspace(0, T - 1, min(min_verts_frames, T)).astype(int)
-    verts, _ = S.lbs(smpl_model, jnp.asarray(betas[None]),
+    verts, _ = S.lbs(smpl_model,
+                     jnp.broadcast_to(jnp.asarray(betas), (len(idx), 10)),
                      jnp.asarray(pose_aa[idx].reshape(len(idx), 72)),
                      trans=jnp.asarray(trans[idx] * body_scale))
     min_verts_h = float(np.asarray(verts)[..., 2].min())

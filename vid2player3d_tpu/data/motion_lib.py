@@ -43,6 +43,17 @@ class MotionLib:
     motion_body_scales: jnp.ndarray  # (M,)
     motion_min_verts_h: jnp.ndarray  # (M,)
     key_body_ids: jnp.ndarray   # (K,) int32
+    # optional per-frame video metadata for video-conditioned fine-tuning
+    # (reference `motion_lib.py:277-386` kp2d + camera loading); empty
+    # (0-sized) when the source carries none
+    kp2d: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.zeros((0, 24, 3), jnp.float32))
+    cam_extrinsics: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.zeros((0, 4, 4), jnp.float32))  # (M,4,4)
+
+    @property
+    def has_kp2d(self) -> bool:
+        return self.kp2d.shape[0] > 0
 
     def tree_flatten(self):
         fields = dataclasses.fields(self)
@@ -72,7 +83,10 @@ class MotionLib:
                      body_scales: Optional[np.ndarray] = None,
                      min_verts_h: Optional[np.ndarray] = None,
                      weights: Optional[np.ndarray] = None,
-                     key_body_ids: Sequence[int] = ()) -> "MotionLib":
+                     key_body_ids: Sequence[int] = (),
+                     kp2d: Optional[np.ndarray] = None,
+                     cam_extrinsics: Optional[np.ndarray] = None
+                     ) -> "MotionLib":
         M = len(motions)
         gts = np.concatenate([m.global_translation for m in motions], 0)
         grs = np.concatenate([m.global_rotation for m in motions], 0)
@@ -110,6 +124,12 @@ class MotionLib:
             motion_body_scales=jnp.asarray(np.asarray(body_scales, dtype=np.float32)),
             motion_min_verts_h=jnp.asarray(np.asarray(min_verts_h, dtype=np.float32)),
             key_body_ids=jnp.asarray(np.asarray(key_body_ids, dtype=np.int32)),
+            kp2d=jnp.asarray(np.asarray(kp2d, dtype=np.float32))
+            if kp2d is not None else jnp.zeros((0, 24, 3), jnp.float32),
+            cam_extrinsics=jnp.asarray(
+                np.asarray(cam_extrinsics, dtype=np.float32))
+            if cam_extrinsics is not None
+            else jnp.zeros((0, 4, 4), jnp.float32),
         )
 
     def save(self, path: str):
@@ -136,6 +156,12 @@ class MotionLib:
             [jnp.zeros(1, jnp.int32), jnp.cumsum(nf)[:-1].astype(jnp.int32)])
         out["motion_weights"] = out["motion_weights"] / out["motion_weights"].sum()
         out["key_body_ids"] = libs[0].key_body_ids
+        # optional video metadata survives a merge only when every shard
+        # carries it (mixed merges drop it rather than misalign frames)
+        if all(l.has_kp2d for l in libs):
+            out["kp2d"] = jnp.concatenate([l.kp2d for l in libs], axis=0)
+            out["cam_extrinsics"] = jnp.concatenate(
+                [l.cam_extrinsics for l in libs], axis=0)
         return cls(**out)
 
 

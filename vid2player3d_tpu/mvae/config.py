@@ -13,11 +13,15 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 @dataclasses.dataclass
 class MVAEOption:
-    # dataset selection (reference `config.py:4-15`)
+    # dataset selection (reference `config.py:4-15`, `dataset.py:52-99`)
     model_ver: str = "base"
     player_name: Optional[Sequence[str]] = None
-    side: str = "fg"
+    side: str = "fg"                       # fg | bg | both
     database_ratio: float = 1.0
+    dataset_dir: Optional[str] = None      # manifest.json + mmapped npy dir
+    background: Optional[Sequence[str]] = None    # None = any
+    gender: Optional[Sequence[str]] = None        # None = any
+    player_handness: Optional[Sequence[str]] = None
 
     # feature assembly (reference `dataset.py:188-212`)
     pose_feature: Tuple[str, ...] = (

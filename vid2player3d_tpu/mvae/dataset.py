@@ -172,6 +172,116 @@ class PoseSequenceDataset:
         return cond, start
 
 
+def load_video_dataset(opt: MVAEOption, dataset_dir: Optional[str] = None
+                       ) -> PoseSequenceDataset:
+    """Manifest + mmapped-npy reader for video-reconstructed motion
+    (reference `Video3DPoseDataset.__init__`, `dataset.py:13-110`).
+
+    Directory layout (the reference's withheld dataset format):
+      manifest.json   — list of videos:
+        {name, background, gender, is_orig,
+         sequences: {fg: [seq...], bg: [seq...]},
+         points_annotation: [{keyframes: [{fid, fg}...]}...]}
+        seq = {base, start, length, player, handness, beta, point_idx}
+      joint_pos.npy    (total, J, 3)    float    — mmapped
+      joint_rotmat.npy (total, J, 3, 3) float    — mmapped
+      valid.npy        (total,)         bool
+
+    Filtering mirrors the reference: video background/gender allowlists,
+    side fg|bg|both, per-sequence player-name or handness selection; phase
+    labels computed from hit keyframes when `opt.predict_phase`. The rows
+    selected from the mmaps are materialized per sequence and handed to
+    `PoseSequenceDataset` (window sampling, z-score stats, feature
+    assembly)."""
+    import json
+    import os
+
+    dataset_dir = dataset_dir or opt.dataset_dir
+    with open(os.path.join(dataset_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    joint_pos = np.load(os.path.join(dataset_dir, "joint_pos.npy"),
+                        mmap_mode="r")
+    joint_rotmat = np.load(os.path.join(dataset_dir, "joint_rotmat.npy"),
+                           mmap_mode="r")
+    valid = np.load(os.path.join(dataset_dir, "valid.npy"))
+
+    sequences: List[Dict] = []
+    for video in manifest:
+        if opt.background is not None and \
+                video.get("background") not in opt.background:
+            continue
+        if opt.gender is not None and video.get("gender") not in opt.gender:
+            continue
+        if opt.side == "both":
+            cands = video["sequences"].get("fg", []) \
+                + video["sequences"].get("bg", [])
+        else:
+            cands = video["sequences"].get(opt.side, [])
+        for seq in cands:
+            if opt.player_handness is not None:
+                if seq.get("handness") not in opt.player_handness:
+                    continue
+            elif opt.player_name is not None and \
+                    seq.get("player") is not None and \
+                    seq["player"] not in opt.player_name:
+                continue
+            base, length = seq["base"], seq["length"]
+            entry: Dict = {
+                "joint_pos": np.asarray(joint_pos[base:base + length],
+                                        np.float32),
+                "joint_rotmat": np.asarray(joint_rotmat[base:base + length],
+                                           np.float32),
+                "valid": np.asarray(valid[base:base + length], bool),
+            }
+            if opt.predict_phase:
+                if not video.get("is_orig"):
+                    continue   # phase labels need original point annotations
+                kfs = video["points_annotation"][seq["point_idx"]]["keyframes"]
+                start = seq.get("start", 0)
+                hits = [(k["fid"] - start, bool(k["fg"])) for k in kfs]
+                entry["hits"] = hits
+            sequences.append(entry)
+    if not sequences:
+        raise ValueError(
+            f"no sequences pass the filters in {dataset_dir}")
+    return PoseSequenceDataset(opt, sequences, seed=opt.seed)
+
+
+def write_video_dataset(dataset_dir: str, videos: Sequence[Dict]) -> None:
+    """Inverse of `load_video_dataset` — packs per-sequence arrays into the
+    manifest + flat npy layout (used by converters and test fixtures)."""
+    import json
+    import os
+
+    os.makedirs(dataset_dir, exist_ok=True)
+    manifest, jp, jr, vv = [], [], [], []
+    base = 0
+    for video in videos:
+        v = {k: video[k] for k in
+             ("name", "background", "gender", "is_orig")}
+        v["sequences"] = {"fg": [], "bg": []}
+        v["points_annotation"] = video.get("points_annotation", [])
+        for side in ("fg", "bg"):
+            for seq in video.get("sequences", {}).get(side, []):
+                arrs = seq.pop("arrays")
+                T = arrs["joint_pos"].shape[0]
+                jp.append(np.asarray(arrs["joint_pos"], np.float32))
+                jr.append(np.asarray(arrs["joint_rotmat"], np.float32))
+                vv.append(np.asarray(arrs.get("valid", np.ones(T, bool))))
+                v["sequences"][side].append({**seq, "base": base,
+                                             "length": T})
+                base += T
+        manifest.append(v)
+    np.save(os.path.join(dataset_dir, "joint_pos.npy"),
+            np.concatenate(jp, axis=0))
+    np.save(os.path.join(dataset_dir, "joint_rotmat.npy"),
+            np.concatenate(jr, axis=0))
+    np.save(os.path.join(dataset_dir, "valid.npy"),
+            np.concatenate(vv, axis=0))
+    with open(os.path.join(dataset_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+
+
 def make_synthetic_pose_dataset(opt: MVAEOption, num_seqs: int = 4,
                                 T: int = 120, seed: int = 0,
                                 hit_period: int = 30) -> PoseSequenceDataset:
