@@ -30,6 +30,11 @@ jax.config.update("jax_default_device", _CPUS[0])
 jax.config.update("jax_default_matmul_precision", "highest")
 
 
+def pytest_addoption(parser):
+    parser.addoption("--regen-golden", action="store_true", default=False,
+                     help="rewrite golden regression files from this run")
+
+
 @pytest.fixture(scope="session")
 def cpu_devices():
     return _CPUS

@@ -33,6 +33,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--minibatch_size", type=int, default=None)
     p.add_argument("--checkpoint", default=None,
                    help="checkpoint to load (overrides the config's warm start)")
+    p.add_argument("--pi_low_checkpoint", default=None,
+                   help="trained low-level imitation checkpoint to embed in "
+                        "tennis configs (default: <out>/<player>_im/best.npz "
+                        "when present; otherwise PD-only fallback)")
     p.add_argument("--motion_file", default=None,
                    help="MotionLib .npz for imitation configs (default: synthetic)")
     p.add_argument("--out", default="results",
@@ -40,6 +44,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_devices", type=int, default=None,
                    help="data-parallel mesh size (default: no mesh)")
     p.add_argument("--save_every", type=int, default=50)
+    p.add_argument("--render", default=None, metavar="OUT.html",
+                   help="with --test: export a rollout and write a "
+                        "standalone HTML viewer (reference video/scenepic "
+                        "export, mvae_controller_vis.py:97-242)")
+    p.add_argument("--select_best", action="store_true",
+                   help="with --render: rank envs by behavioral stats and "
+                        "record the best (mvae_controller_vis.py:149-156)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of training epochs "
+                        "2-4 into DIR (view with xprof/tensorboard)")
     return p
 
 
@@ -127,19 +141,55 @@ def _build_tennis(run_cfg, args):
     rng = np.random.default_rng(seed)
     feats = (rng.standard_normal((64, P.FRAME_SIZE)) * 0.05).astype(np.float32)
     feats[:, 2] = 0.95
+
+    # frozen low-level policy: the defining vid2player nesting — the trained
+    # imitation policy physically tracks the MVAE kinematic targets
+    # (`player_builder.py:184-206`, `im_player.py:187-202`)
+    pi_low, pi_low_params = _load_pi_low(run_cfg, args)
+
+    mesh = _mesh(args)
     if run_cfg.dual:
         from vid2player3d_tpu.envs.tennis_dual import DualTennisEnv
 
         env = DualTennisEnv(env_cfg, spec, feats,
-                            ball_generator=TennisBallGenerator())
+                            ball_generator=TennisBallGenerator(),
+                            pi_low=pi_low, pi_low_params=pi_low_params)
         # one net per player identity, lane-routed (im_network_builder_dual)
         v2p_cfg = dataclasses.replace(v2p_cfg, num_policies=2)
-        agent = V2PPPO(env, v2p_cfg, seed=seed)
     else:
         env = TennisEnv(env_cfg, spec, feats,
-                        ball_generator=TennisBallGenerator())
-        agent = V2PPPO(env, v2p_cfg, seed=seed)
+                        ball_generator=TennisBallGenerator(),
+                        pi_low=pi_low, pi_low_params=pi_low_params)
+    if mesh is not None:
+        env = env.shard(mesh)
+    agent = V2PPPO(env, v2p_cfg, seed=seed, mesh=mesh)
     return agent
+
+
+def _load_pi_low(run_cfg, args):
+    """Resolve the embedded low-level imitation checkpoint: explicit
+    `--pi_low_checkpoint` wins, else the player's `<player>_im` training
+    output under `--out` (the analog of the `tennis_im.yaml` pretrained
+    checkpoint path the reference's PlayerBuilder loads)."""
+    from vid2player3d_tpu.learn import FrozenImitator
+
+    path = args.pi_low_checkpoint
+    if path is None:
+        for name in (f"{run_cfg.player}_im", "djokovic_im", "amass_im"):
+            for f in ("best.npz", "latest.npz"):
+                cand = os.path.join(args.out, name, f)
+                if os.path.exists(cand):
+                    path = cand
+                    break
+            if path:
+                break
+    if path is None:
+        print("NOTE: no low-level imitation checkpoint found; tennis physics "
+              "falls back to PD-only tracking of the MVAE targets")
+        return None, None
+    print(f"embedding frozen low-level policy from {path}")
+    frozen = FrozenImitator.from_checkpoint(path)
+    return frozen.as_pi_low()
 
 
 def _load_mvae_spec(mvae_dir: str, player: str, seed: int):
@@ -169,7 +219,19 @@ def _train_loop(agent, run_cfg, args, logger):
     env_steps = agent.env.cfg.num_envs * agent.cfg.horizon
     epochs = args.epochs or run_cfg.max_epochs
     for e in range(1, epochs + 1):
+        # per-phase device profiling (SURVEY §5.1): trace epochs 2-4 (after
+        # the compile epoch) so the capture holds steady-state step timing
+        if args.profile and e == 2:
+            import jax
+
+            jax.profiler.start_trace(args.profile)
         ts, metrics = agent.train_epoch(ts)
+        if args.profile and e == 4:
+            import jax
+
+            jax.block_until_ready(metrics)
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to {args.profile}")
         logger.log(e, metrics, env_steps)
         r = float(metrics.get("reward_mean", 0.0))
         if e % args.save_every == 0 or e == epochs:
@@ -182,11 +244,33 @@ def _train_loop(agent, run_cfg, args, logger):
 
 def _eval_loop(agent, run_cfg, args):
     """Deterministic evaluation: report reward / behavioral stats
-    (reference `--test` players, `mvae_controller_vis.py:81-95`)."""
+    (reference `--test` players, `mvae_controller_vis.py:81-95`); with
+    --render also produce a watchable standalone HTML rollout."""
     from vid2player3d_tpu.eval import evaluate
 
     report = evaluate(agent, num_epochs=args.epochs or 5)
     print(json.dumps(report, indent=2))
+
+    if args.render:
+        import numpy as np
+
+        from vid2player3d_tpu.eval import (eval_tennis, export_rollout,
+                                           select_best)
+        from vid2player3d_tpu.learn import V2PPPO
+        from vid2player3d_tpu.vis import render_html
+
+        if not isinstance(agent, V2PPPO):
+            print("NOTE: --render currently targets tennis agents")
+            return report
+        npz = os.path.splitext(args.render)[0] + ".npz"
+        export_rollout(agent, npz)
+        env_ids = None
+        if args.select_best:
+            _, stats_pe = eval_tennis(agent, per_env=True)
+            env_ids = select_best(stats_pe, num=4)
+            print(f"select_best env ids: {np.asarray(env_ids).tolist()}")
+        render_html(npz, args.render, env_ids=env_ids)
+        print(f"wrote {args.render}")
     return report
 
 

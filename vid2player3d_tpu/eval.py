@@ -85,10 +85,11 @@ def eval_imitation(agent, num_rollouts: int = 5) -> Dict[str, float]:
 
 # ---- tennis --------------------------------------------------------------------
 
-def eval_tennis(agent, num_steps: int = 300) -> Dict[str, float]:
-    """Deterministic high-level policy rollout; per-episode behavioral stats
-    measured at episode end (done), matching `mvae_controller_vis.py:81-95`:
-    hit rate, bounce-in rate, bounce position error, forehand ratio."""
+def eval_tennis(agent, num_steps: int = 300, per_env: bool = False):
+    """Deterministic high-level policy rollout; behavioral stats accumulated
+    PER SWING CYCLE like the reference (`mvae_controller_vis.py:81-95`
+    updates on recovery transitions): hit rate, estimated bounce-in rate,
+    estimated bounce position error (on in-balls), forehand ratio."""
     env = agent.env
     ts = agent.init_state()
 
@@ -99,37 +100,76 @@ def eval_tennis(agent, num_steps: int = 300) -> Dict[str, float]:
             mu, _ = agent._forward(ts.params, ts.obs_norm, obs)
             state2, out = env.step(state, mu)
             rec = dict(done=out.done,
+                       tar_action=state2.tar_action,
                        contact=state2.has_contact,
-                       bounce_in=state2.bounce_in,
-                       bounce_err=jnp.linalg.norm(
-                           state2.bounce_pos[:, :2]
+                       est_in=state2.est_bounce_in,
+                       est_err=jnp.linalg.norm(
+                           state2.est_bounce_pos
                            - state2.target_bounce[:, :2], axis=-1),
                        swing=state2.mvae.swing_type_cycle,
+                       root_pos=state2.sim.root_pos,
                        reward=out.reward)
             return (state2, out.obs), rec
 
         return jax.lax.scan(step_fn, (state, obs), None, length=num_steps)
 
     key = jax.random.PRNGKey(4321)
-    state, obs = env.reset_all(key)
-    (_, _), rec = run(state, obs)
+    state0, obs = env.reset_all(key)
+    (_, _), rec = run(state0, obs)
     rec = {k: np.asarray(v) for k, v in rec.items()}
 
-    done = rec["done"].astype(bool)
-    n_ep = max(int(done.sum()), 1)
-    hit = rec["contact"][done]
-    b_in = rec["bounce_in"][done]
-    fh = rec["swing"][done] == 1
-    bh = rec["swing"][done] == 2
-    err = rec["bounce_err"][done][rec["bounce_in"][done].astype(bool)]
-    return {
-        "episodes": int(done.sum()),
-        "hit_rate": float(hit.mean()) if n_ep else 0.0,
-        "bounce_in_rate": float(b_in.mean()) if n_ep else 0.0,
-        "bounce_pos_error": float(err.mean()) if err.size else float("nan"),
-        "fh_ratio": float(fh.sum() / max(fh.sum() + bh.sum(), 1)),
+    # swing-cycle ends = reaction→recovery transitions (reference
+    # `_reset_recovery_buf` rows feed the stat meters, vis.py:81-95)
+    ta = rec["tar_action"]                          # (T, N)
+    ta_prev = np.concatenate(
+        [np.asarray(state0.tar_action)[None], ta[:-1]], axis=0)
+    cyc = (ta_prev == 1) & (ta == 0) & (rec["done"] == 0)
+    # a terminated reaction with no contact is also a finished (missed) cycle
+    cyc |= (rec["done"] == 1) & (ta_prev == 1)
+
+    def cyc_rate(x, mask=cyc):
+        m = mask.astype(np.float64)
+        return (x * m).sum(0) / np.maximum(m.sum(0), 1e-9), m.sum(0)
+
+    hit_pe, n_cyc = cyc_rate(rec["contact"])
+    in_pe, _ = cyc_rate(rec["est_in"])
+    fh_pe, _ = cyc_rate(rec["swing"] == 1)
+    err_mask = cyc & rec["est_in"].astype(bool)
+    err_pe, n_in = cyc_rate(rec["est_err"], err_mask)
+    dist_pe = np.linalg.norm(
+        np.diff(rec["root_pos"][..., :2], axis=0), axis=-1).sum(0)
+
+    valid = n_cyc > 0
+    stats_pe = dict(hit_rate=hit_pe, bounce_in_rate=in_pe, fh_ratio=fh_pe,
+                    bounce_pos_error=err_pe, cycles=n_cyc, distance=dist_pe)
+    report = {
+        "cycles": int(n_cyc.sum()),
+        "hit_rate": float(hit_pe[valid].mean()) if valid.any() else 0.0,
+        "bounce_in_rate": float(in_pe[valid].mean()) if valid.any() else 0.0,
+        "bounce_pos_error": float(err_pe[n_in > 0].mean())
+            if (n_in > 0).any() else float("nan"),
+        "fh_ratio": float(fh_pe[valid].mean()) if valid.any() else 0.0,
         "reward_mean": float(rec["reward"].mean()),
     }
+    if per_env:
+        return report, stats_pe
+    return report
+
+
+def select_best(stats_pe: Dict[str, np.ndarray], num: int = 1,
+                bounce_in_min: float = 0.95, fh_max: float = 0.6
+                ) -> np.ndarray:
+    """Rank envs for recording (`mvae_controller_vis.py:149-156`): keep envs
+    with bounce-in rate > 0.95 and forehand ratio < 0.6, sorted by total
+    root distance traveled, descending. Falls back to all envs by distance
+    when no env qualifies."""
+    cand = (stats_pe["bounce_in_rate"] > bounce_in_min) \
+        & (stats_pe["fh_ratio"] < fh_max) & (stats_pe["cycles"] > 0)
+    ids = np.nonzero(cand)[0]
+    if ids.size == 0:
+        ids = np.arange(len(stats_pe["distance"]))
+    order = np.argsort(-stats_pe["distance"][ids])
+    return ids[order][:num]
 
 
 # ---- rollout export --------------------------------------------------------------
