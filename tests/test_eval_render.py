@@ -69,3 +69,41 @@ def test_export_and_render_html(agent, tmp_path):
     assert "<canvas" in html and "env 2" not in html  # ids embedded as data
     assert '"envs": [0, 2]' in html
     assert len(html) < 8_000_000
+
+
+def test_imitation_export_with_ref_ghost(tmp_path):
+    import jax
+
+    from vid2player3d_tpu.data.synthetic import make_synthetic_motion_lib
+    from vid2player3d_tpu.envs import HumanoidImConfig, HumanoidImEnv
+    from vid2player3d_tpu.eval import export_imitation_rollout
+    from vid2player3d_tpu.learn import ImitationPPO, PPOConfig
+
+    lib = make_synthetic_motion_lib(num_motions=2, T=60, fps=30.0, seed=0)
+    env = HumanoidImEnv(HumanoidImConfig(num_envs=4, substeps=2), lib, rng=0)
+    im = ImitationPPO(env, PPOConfig(horizon=4, minibatch_size=8,
+                                     mini_epochs=1), seed=3)
+    npz = os.path.join(tmp_path, "im.npz")
+    export_imitation_rollout(im, npz, num_steps=40)
+    data = np.load(npz)
+    assert data["body_pos"].shape == (40, 4, 24, 3)
+    assert data["ref_body_pos"].shape == (40, 4, 24, 3)
+    out = os.path.join(tmp_path, "im.html")
+    render_html(npz, out, env_ids=[0, 1])
+    html = open(out).read()
+    # two skeletons per env frame (sim + reference ghost)
+    assert '"envs": [0, 1]' in html
+
+
+def test_dual_render_pairs_lanes(tmp_path):
+    T, N = 6, 4
+    body = np.zeros((T, N, 24, 3), np.float32)
+    body[:, 1, :, 0] = 2.0   # odd partner at x=2 -> mirrored to -2
+    body[:, 1, :, 1] = -13.0
+    roll = {"body_pos": body, "ball_pos": np.zeros((T, N, 3), np.float32),
+            "racket_pos": np.zeros((T, N, 3), np.float32)}
+    out = os.path.join(tmp_path, "dual.html")
+    render_html(roll, out, dual=True)
+    html = open(out).read()
+    assert '"envs": [0, 2]' in html
+    assert "-2.0" in html and "13.0" in html  # mirrored partner embedded

@@ -46,3 +46,45 @@ def test_surgery_roundtrip(agent, tmp_path):
     a = jax.tree_util.tree_leaves(ts.params)[0]
     b = jax.tree_util.tree_leaves(ts2.params)[0]
     assert np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_normalizers_roundtrip_through_checkpoint(agent, tmp_path):
+    """Weights + running obs/value stats reload together: a trained stage's
+    normalizer must not silently reset to zero-mean/unit-var (reference stat
+    migration, `im_agent.py:141-155`)."""
+    ts = agent.init_state()
+    ts, _ = agent.train_epoch(ts)   # makes stats non-trivial
+    path = str(tmp_path / "stage.npz")
+    agent.save_checkpoint(path, ts)
+    saved_mean = np.asarray(ts.obs_norm.mean).copy()
+    saved_n = float(ts.obs_norm.n)
+    assert saved_n > 0
+
+    agent.load_stage_checkpoint(path)
+    ts2 = agent.init_state()
+    assert float(ts2.obs_norm.n) == saved_n
+    np.testing.assert_allclose(np.asarray(ts2.obs_norm.mean), saved_mean,
+                               atol=1e-6)
+
+
+def test_single_policy_checkpoint_tiles_into_dual(agent, tmp_path):
+    """Dual warm-start from a single-player stage checkpoint broadcasts the
+    params across the policy axis (the reference loads per-player single
+    checkpoints into each dual net, `v2p_player.py:21-111`)."""
+    import dataclasses
+
+    ts = agent.init_state()
+    path = str(tmp_path / "single.npz")
+    agent.save_checkpoint(path, ts)
+
+    dual = V2PPPO(agent.env,
+                  dataclasses.replace(agent.cfg, num_policies=2), seed=4)
+    dual.load_stage_checkpoint(path)
+    ts_d = dual.init_state()
+    leaf = jax.tree_util.tree_leaves(ts_d.params)[0]
+    single_leaf = jax.tree_util.tree_leaves(ts.params)[0]
+    assert leaf.shape == (2,) + single_leaf.shape
+    np.testing.assert_allclose(np.asarray(leaf[0]), np.asarray(single_leaf),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(leaf[1]), np.asarray(single_leaf),
+                               atol=1e-6)

@@ -82,6 +82,19 @@ class MetricsLogger:
               f"fps {fps:,.0f} eta {eta / 60:.1f}m", flush=True)
 
 
+def _clamp_minibatch(cfg, num_envs):
+    """Scaled-down runs (--num_envs below the config's production scale)
+    keep working: the minibatch can never exceed the rollout batch and must
+    divide it."""
+    nbatch = num_envs * cfg.horizon
+    mb = min(cfg.minibatch_size, nbatch)
+    while nbatch % mb:
+        mb -= 1
+    if mb != cfg.minibatch_size:
+        cfg = dataclasses.replace(cfg, minibatch_size=mb)
+    return cfg
+
+
 def _mesh(args):
     if args.n_devices is None:
         return None
@@ -103,6 +116,7 @@ def _build_im(run_cfg, args):
     for f in ("horizon", "minibatch_size"):
         if getattr(args, f):
             ppo_cfg = dataclasses.replace(ppo_cfg, **{f: getattr(args, f)})
+    ppo_cfg = _clamp_minibatch(ppo_cfg, env_cfg.num_envs)
     if args.motion_file:
         lib = MotionLib.load(args.motion_file)
     else:
@@ -134,6 +148,7 @@ def _build_tennis(run_cfg, args):
     for f in ("horizon", "minibatch_size"):
         if getattr(args, f):
             v2p_cfg = dataclasses.replace(v2p_cfg, **{f: getattr(args, f)})
+    v2p_cfg = _clamp_minibatch(v2p_cfg, env_cfg.num_envs)
 
     seed = args.seed or run_cfg.seed
     mvae_path = os.path.join(args.out, f"mvae_{run_cfg.player}")
@@ -254,22 +269,27 @@ def _eval_loop(agent, run_cfg, args):
     if args.render:
         import numpy as np
 
-        from vid2player3d_tpu.eval import (eval_tennis, export_rollout,
-                                           select_best)
+        from vid2player3d_tpu.eval import (eval_tennis,
+                                           export_imitation_rollout,
+                                           export_rollout, select_best)
         from vid2player3d_tpu.learn import V2PPPO
         from vid2player3d_tpu.vis import render_html
 
-        if not isinstance(agent, V2PPPO):
-            print("NOTE: --render currently targets tennis agents")
-            return report
         npz = os.path.splitext(args.render)[0] + ".npz"
-        export_rollout(agent, npz)
-        env_ids = None
-        if args.select_best:
-            _, stats_pe = eval_tennis(agent, per_env=True)
-            env_ids = select_best(stats_pe, num=4)
-            print(f"select_best env ids: {np.asarray(env_ids).tolist()}")
-        render_html(npz, args.render, env_ids=env_ids)
+        if isinstance(agent, V2PPPO):
+            export_rollout(agent, npz)
+            env_ids = None
+            if args.select_best:
+                _, stats_pe = eval_tennis(agent, per_env=True)
+                env_ids = select_best(stats_pe, num=4)
+                print(f"select_best env ids: {np.asarray(env_ids).tolist()}")
+            render_html(npz, args.render, env_ids=env_ids,
+                        dual=run_cfg.dual)
+        else:
+            # imitation: simulated skeleton + reference ghost, the
+            # side-by-side vis (`humanoid_smpl_im_vis.py:72-155`)
+            export_imitation_rollout(agent, npz)
+            render_html(npz, args.render)
         print(f"wrote {args.render}")
     return report
 

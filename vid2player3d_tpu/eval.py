@@ -174,6 +174,57 @@ def select_best(stats_pe: Dict[str, np.ndarray], num: int = 1,
 
 # ---- rollout export --------------------------------------------------------------
 
+def export_imitation_rollout(agent, path: str, num_steps: int = 90) -> str:
+    """Dump a deterministic imitation rollout: simulated body positions plus
+    the reference-motion target as a ghost skeleton — the data behind the
+    reference's side-by-side mujoco visualizer
+    (`embodied_pose/env/tasks/humanoid_smpl_im_vis.py:72-155`). Renderable
+    with `vis.render_html` (ref ghost drawn in a second color)."""
+    from vid2player3d_tpu.data import motion_lib as ML
+    from vid2player3d_tpu.learn.ppo import ImitationPPO
+    from vid2player3d_tpu.physics import engine
+
+    if not isinstance(agent, ImitationPPO):
+        raise TypeError("imitation rollout export needs an ImitationPPO")
+    env = agent.env
+    ts = agent.init_state()
+
+    L = env.cfg.context_length
+
+    @jax.jit
+    def run_segment(env_state, raw_obs, ctx_feat):
+        """One context window's worth of steps; the context is re-built
+        between segments like the test player (`im_player.py:237-247`)."""
+
+        def step_fn(carry, t):
+            env_state, raw_obs = carry
+            _, _, mu, _, _ = agent._forward(env, ts.params, ts.obs_norm,
+                                            raw_obs, ctx_feat, t)
+            tar = ML.get_motion_state(
+                env.lib, env.motion_ids, env_state.motion_times,
+                adjust_height=True,
+                ground_tolerance=env.cfg.ground_tolerance)
+            env_state2, out = env.step(env_state, mu)
+            bp, _, _, _ = engine.fk_world(env.model, env_state2.sim)
+            rec = dict(body_pos=bp, ref_body_pos=tar["rb_pos"],
+                       done=out.done)
+            return (env_state2, out.obs), rec
+
+        return jax.lax.scan(step_fn, (env_state, raw_obs), jnp.arange(L))
+
+    env_state, raw_obs, ctx = env.reset_all(jax.random.PRNGKey(11))
+    chunks = []
+    for _ in range(max(1, (num_steps + L - 1) // L)):
+        (env_state, raw_obs), rec = run_segment(env_state, raw_obs,
+                                                ctx["feat"])
+        chunks.append({k: np.asarray(v) for k, v in rec.items()})
+        ctx = env.init_context(env_state.motion_times)
+    rec = {k: np.concatenate([c[k] for c in chunks], 0)[:num_steps]
+           for k in chunks[0]}
+    np.savez_compressed(path, **rec)
+    return path
+
+
 def export_rollout(agent, path: str, num_steps: int = 150) -> str:
     """Dump a deterministic rollout as npz for offline visualization
     (per-frame kinematics — the reference's vis stack renders exactly these

@@ -550,6 +550,13 @@ class ImitationPPO:
                                   "body_rot_reward"]):
             metrics[name] = subs[i]
 
+        # success = episode ended by reaching the motion's end rather than a
+        # tracking failure (the RLGPUAlgoObserver consecutive-success metric,
+        # `embodied_pose/run.py:60-90`)
+        done_ct = traj["done"].sum()
+        succ = (traj["done"] * (1.0 - traj["terminate"])).sum()
+        metrics["success_rate"] = succ / jnp.maximum(done_ct, 1.0)
+
         metrics["lr"] = lr
         new_ts = TrainState(params=params, opt_state=opt_state,
                             obs_norm=obs_norm_next, val_norm=val_norm, key=key,

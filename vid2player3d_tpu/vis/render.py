@@ -49,7 +49,7 @@ _PAGE = """<!DOCTYPE html>
 const D = {data};
 const PARENTS = {parents};
 const HW = {half_width}, HL = {half_length}, NET = {net_height};
-const T = D.ball.length, NENV = D.envs.length;
+const T = D.body.length, NENV = D.envs.length;
 let env = 0, t = 0, playing = true;
 const scrub = document.getElementById('scrub'); scrub.max = T - 1;
 const sel = document.getElementById('env');
@@ -90,10 +90,13 @@ function draw() {{
   sideC.strokeStyle = '#cfe3cf';
   lines(sideC, [ps(0, -HL, 0), ps(0, HL, 0)]);
   lines(sideC, [ps(0, 0, 0), ps(0, 0, NET)]);
-  const J = D.body[t][env];
-  skel(top, J, pt, '#7fd4ff'); skel(sideC, J, ps, '#7fd4ff');
+  const COLORS = ['#7fd4ff', '#ffc04d', '#b0ff9e', '#ff9ecf'];
+  for (let si = 0; si < D.body[t][env].length; si++) {{
+    const J = D.body[t][env][si];
+    skel(top, J, pt, COLORS[si % 4]); skel(sideC, J, ps, COLORS[si % 4]);
+  }}
   // ball + trail
-  for (let k = Math.max(0, t - 15); k <= t; k++) {{
+  if (D.ball) for (let k = Math.max(0, t - 15); k <= t; k++) {{
     const b = D.ball[k][env];
     const a = (k - t + 15) / 15;
     for (const [ctx2, proj] of [[top, pt], [sideC, ps]]) {{
@@ -102,11 +105,13 @@ function draw() {{
       ctx2.beginPath(); ctx2.arc(q[0], q[1], k === t ? 4 : 2, 0, 7); ctx2.fill();
     }}
   }}
-  const r = D.racket[t][env];
-  for (const [ctx2, proj] of [[top, pt], [sideC, ps]]) {{
-    ctx2.strokeStyle = '#ff8080'; ctx2.lineWidth = 2;
-    const q = proj(r[0], r[1], r[2]);
-    ctx2.beginPath(); ctx2.arc(q[0], q[1], 5, 0, 7); ctx2.stroke();
+  if (D.racket) {{
+    const r = D.racket[t][env];
+    for (const [ctx2, proj] of [[top, pt], [sideC, ps]]) {{
+      ctx2.strokeStyle = '#ff8080'; ctx2.lineWidth = 2;
+      const q = proj(r[0], r[1], r[2]);
+      ctx2.beginPath(); ctx2.arc(q[0], q[1], 5, 0, 7); ctx2.stroke();
+    }}
   }}
   document.getElementById('frame').textContent = t + '/' + (T - 1);
   scrub.value = t;
@@ -119,33 +124,52 @@ draw();
 
 def render_html(rollout, out_path: str,
                 env_ids: Optional[Sequence[int]] = None,
-                max_frames: int = 600) -> str:
+                max_frames: int = 600, dual: bool = False) -> str:
     """Write a standalone HTML viewer for a rollout.
 
     rollout: path to an `export_rollout` npz or a dict with body_pos
-      (T, N, 24, 3), ball_pos (T, N, 3), racket_pos (T, N, 3).
+      (T, N, 24, 3), optional ref_body_pos (ghost skeleton — e.g. the
+      imitation reference target, drawn in a second color like the
+      reference's side-by-side vis, `humanoid_smpl_im_vis.py:72-155`),
+      optional ball_pos (T, N, 3) / racket_pos (T, N, 3).
     env_ids: which envs to embed (default: first 4; pass `select_best`
       output to record the best performers).
+    dual: paired-lane rally mode — each even lane is drawn together with
+      its odd partner mirrored through the net into one scene
+      (`mvae_controller_vis_dual.py:86-130`).
     """
     if isinstance(rollout, str):
         rollout = dict(np.load(rollout))
     body = np.asarray(rollout["body_pos"])[:max_frames]
-    ball = np.asarray(rollout["ball_pos"])[:max_frames]
-    racket = np.asarray(rollout["racket_pos"])[:max_frames]
+    ball = rollout.get("ball_pos")
+    racket = rollout.get("racket_pos")
     N = body.shape[1]
     if env_ids is None:
-        env_ids = list(range(min(4, N)))
+        env_ids = [e for e in range(min(4 * (2 if dual else 1), N))
+                   if not dual or e % 2 == 0]
     env_ids = [int(e) for e in env_ids]
 
     def rnd(a):
-        return np.round(a, 3).tolist()
+        return np.round(np.asarray(a, np.float64), 3).tolist()
 
-    data = {
-        "envs": env_ids,
-        "body": rnd(body[:, env_ids]),
-        "ball": rnd(ball[:, env_ids]),
-        "racket": rnd(racket[:, env_ids]),
-    }
+    if dual:
+        # scene = even lane + mirrored odd partner (x,y -> -x,-y)
+        mirror = np.array([-1.0, -1.0, 1.0])
+        partner = [e ^ 1 for e in env_ids]
+        skel = np.stack([body[:, env_ids],
+                         body[:, partner] * mirror], axis=2)
+    else:
+        skel = body[:, env_ids][:, :, None]          # (T, E, 1, 24, 3)
+        if "ref_body_pos" in rollout:
+            ref = np.asarray(rollout["ref_body_pos"])[:max_frames]
+            skel = np.concatenate([skel, ref[:, env_ids][:, :, None]],
+                                  axis=2)
+
+    data = {"envs": env_ids, "body": rnd(skel)}
+    if ball is not None:
+        data["ball"] = rnd(np.asarray(ball)[:max_frames][:, env_ids])
+    if racket is not None:
+        data["racket"] = rnd(np.asarray(racket)[:max_frames][:, env_ids])
     html = _PAGE.format(data=json.dumps(data), parents=json.dumps(_MJ_PARENTS),
                         half_width=court.HALF_WIDTH,
                         half_length=court.HALF_LENGTH,
