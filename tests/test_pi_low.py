@@ -116,19 +116,24 @@ def test_full_pipeline_train_then_embed(tmp_path):
 
 
 @pytest.mark.slow
-def test_trained_pi_low_beats_pd_on_root_tracking(tmp_path):
+def test_trained_pi_low_beats_pure_pd_tracking(tmp_path):
     """The point of the nesting: PD drives joints but the ROOT is unactuated,
-    so only the policy's residual root force can keep the physics humanoid on
-    the moving kinematic root. A briefly-trained policy must track the MVAE
-    root better than the PD-only fallback (reference residual forces,
-    `humanoid_smpl_im.py:141-154`)."""
+    so only the policy's learned corrections (residual dof + residual root
+    forces, `humanoid_smpl_im.py:141-154`) can keep the physics humanoid on
+    the moving reference. A briefly-trained policy must track reference
+    motion better than pure PD of the target dofs (the tennis env's
+    pi_low=None fallback semantics), measured on the distribution the policy
+    was trained for."""
+    from vid2player3d_tpu.data import motion_lib as ML
+    from vid2player3d_tpu.physics import engine
+
     lib = make_synthetic_motion_lib(num_motions=4, T=90, fps=30.0, seed=0)
     env = HumanoidImEnv(HumanoidImConfig(num_envs=64, substeps=2), lib, rng=0)
     agent = ImitationPPO(env, PPOConfig(horizon=16, minibatch_size=256,
                                         mini_epochs=4, learning_rate=5e-4,
                                         lr_schedule="adaptive"), seed=3)
     ts = agent.init_state()
-    for _ in range(20):
+    for _ in range(25):
         ts, metrics = agent.train_epoch(ts)
     path = os.path.join(tmp_path, "im.npz")
     agent.save_checkpoint(path, ts)
@@ -136,22 +141,60 @@ def test_trained_pi_low_beats_pd_on_root_tracking(tmp_path):
     frozen = FrozenImitator.from_checkpoint(path)
     pi_low, params = frozen.as_pi_low()
 
-    def tracking_error(env):
-        state, obs = env.reset_all(jax.random.PRNGKey(7))
+    def tracking_error(policy: bool):
+        state, raw_obs, ctx = env.reset_all(jax.random.PRNGKey(7))
         step = jax.jit(env.step)
-        act = jnp.zeros((env.cfg.num_envs, env.num_actions))
         errs = []
-        from vid2player3d_tpu.tennis import player as PP
-
-        for _ in range(20):
+        for t in range(16):
+            if policy:
+                io, _, mu, _, _ = agent._forward(
+                    env, ts.params, ts.obs_norm, raw_obs, ctx["feat"], t)
+                act = mu
+            else:
+                # pure PD of the reference target dofs, zero residuals —
+                # exactly the tennis env's pi_low=None fallback
+                c_dof = agent._ctx_frame(ctx["feat"], t)[2]
+                act = jnp.concatenate(
+                    [c_dof, jnp.zeros((64, 6))], axis=-1)
             state, out = step(state, act)
-            # kinematic target root vs physics root
-            err = jnp.linalg.norm(
-                state.mvae.root_pos[:, :2] - state.sim.root_pos[:, :2],
-                axis=-1)
-            errs.append(err)
-        return float(jnp.stack(errs).mean())
+            raw_obs = out.obs
+            tar = ML.get_motion_state(env.lib, env.motion_ids,
+                                      state.motion_times, adjust_height=True)
+            bp, _, _, _ = engine.fk_world(env.model, state.sim)
+            alive = state.reset_buf == 0
+            err = jnp.linalg.norm(tar["rb_pos"] - bp, axis=-1).mean(-1)
+            errs.append(jnp.where(alive, err, jnp.nan))
+        e = np.asarray(jnp.stack(errs))
+        return float(np.nanmean(e))
 
-    err_pl = tracking_error(_tennis_env(pi_low, params, num_envs=8))
-    err_pd = tracking_error(_tennis_env(num_envs=8))
-    assert err_pl < err_pd, (err_pl, err_pd)
+    err_policy = tracking_error(True)
+    err_pd = tracking_error(False)
+    assert np.isfinite(err_policy) and np.isfinite(err_pd)
+    assert err_policy < err_pd, (err_policy, err_pd)
+
+
+@pytest.mark.slow
+def test_trained_pi_low_stable_in_tennis(tmp_path):
+    """Embedding a trained policy in the tennis env must keep the physics
+    finite and bounded over a rollout (the policy sees out-of-distribution
+    MVAE targets from the random spec, so only stability — not tracking
+    quality — is asserted here; quality needs a trained MVAE)."""
+    lib = make_synthetic_motion_lib(num_motions=4, T=90, fps=30.0, seed=0)
+    env = HumanoidImEnv(HumanoidImConfig(num_envs=32, substeps=2), lib, rng=0)
+    agent = ImitationPPO(env, PPOConfig(horizon=16, minibatch_size=128,
+                                        mini_epochs=2, learning_rate=3e-4),
+                         seed=3)
+    ts = agent.init_state()
+    for _ in range(5):
+        ts, _ = agent.train_epoch(ts)
+    path = os.path.join(tmp_path, "im.npz")
+    agent.save_checkpoint(path, ts)
+    pi_low, params = FrozenImitator.from_checkpoint(path).as_pi_low()
+
+    tenv = _tennis_env(pi_low, params, num_envs=4)
+    state, obs = tenv.reset_all(jax.random.PRNGKey(7))
+    step = jax.jit(tenv.step)
+    for _ in range(20):
+        state, out = step(state, jnp.zeros((4, tenv.num_actions)))
+    assert np.all(np.isfinite(np.asarray(out.obs)))
+    assert np.all(np.isfinite(np.asarray(state.sim.root_pos)))
