@@ -1,10 +1,13 @@
 """Headline benchmark: humanoid env-steps/s at 4096 envs, policy in the loop.
 
-Measures the fused rollout hot loop (policy forward + PD control + physics
-substeps + motion-lib target lookup + reward/termination) that dominates both
-training (`im_agent.py:305 play_steps`) and inference in the reference, which
-logs it as `performance/step_fps`. Baseline target (BASELINE.json north star):
-1M env-steps/s/chip. Prints one JSON line.
+Phase 1 measures the fused rollout hot loop (policy forward + PD control +
+physics substeps + motion-lib target lookup + reward/termination), the
+reference's `performance/step_fps`. Phase 2 measures the FULL `train_epoch`
+(rollout + GAE + 6 mini-epochs x 256 minibatch-512 gradient steps at the
+reference amass_im hyperparameters) — the reference's `performance/total_fps`
+with `T_play`/`T_update` (`im_agent.py:204-221`, `common_agent.py:104-109`).
+Baseline target (BASELINE.json north star): 1M env-steps/s/chip on the
+rollout. Prints ONE JSON line; total_fps/t_play/t_update ride as extra keys.
 
 Runs on whatever accelerator JAX defaults to (the real TPU chip under the
 driver; falls back to CPU if no TPU is reachable).
@@ -35,9 +38,10 @@ def main():
     lib = make_synthetic_motion_lib(num_motions=8, T=300, fps=30.0, seed=0)
     env = HumanoidImEnv(HumanoidImConfig(num_envs=NUM_ENVS, substeps=SUBSTEPS),
                         lib, rng=0)
-    agent = ImitationPPO(env, PPOConfig(horizon=HORIZON,
-                                        minibatch_size=NUM_ENVS * HORIZON // 8,
-                                        mini_epochs=1), seed=7)
+    # reference amass_im hyperparameters (minibatch 512, 6 mini-epochs) so
+    # phase 2 measures the honest training epoch
+    agent = ImitationPPO(env, PPOConfig(horizon=HORIZON, minibatch_size=512,
+                                        mini_epochs=6), seed=7)
     ts = agent.init_state()
 
     @jax.jit
@@ -74,11 +78,30 @@ def main():
     dt = time.perf_counter() - t0
 
     steps_per_s = NUM_ENVS * HORIZON * reps / dt
+    t_play = dt / reps
+
+    # phase 2: full training epoch at reference hyperparameters
+    # (amass_im.yaml: minibatch 512, 6 mini-epochs) — the honest end-to-end
+    # training number, `performance/total_fps`
+    ts, m = agent.train_epoch(ts)           # compile + warmup
+    jax.block_until_ready(m)
+    ereps = 5
+    t0 = time.perf_counter()
+    for _ in range(ereps):
+        ts, m = agent.train_epoch(ts)
+    jax.block_until_ready(m)
+    t_epoch = (time.perf_counter() - t0) / ereps
+    total_fps = NUM_ENVS * HORIZON / t_epoch
+
     print(json.dumps({
         "metric": "humanoid_env_steps_per_s",
         "value": round(steps_per_s, 1),
         "unit": "env-steps/s/chip",
         "vs_baseline": round(steps_per_s / BASELINE_STEPS_PER_S, 4),
+        "total_fps": round(total_fps, 1),
+        "t_play_s": round(t_play, 4),
+        "t_update_s": round(max(t_epoch - t_play, 0.0), 4),
+        "epoch_s": round(t_epoch, 4),
     }))
 
 

@@ -109,3 +109,32 @@ def test_dr_config_registered():
 
     cfg = get_config("amass_im_dr")
     assert cfg.env_im.rand_specs is not None
+
+
+def test_randomize_ball_params():
+    """Tennis DR (VERDICT r02 missing #5): ball-constant perturbation draws
+    shared scalars per epoch; untouched fields stay bit-identical."""
+    from vid2player3d_tpu.tennis.ball import BallParams
+
+    dr = DomainRandomizer([
+        RandSpec("ball_restitution", "uniform", (0.95, 1.05), "scaling"),
+        RandSpec("ball_base_cd", "uniform", (0.9, 1.1), "scaling"),
+    ])
+    p = BallParams()
+    p2 = dr.randomize_ball(jax.random.PRNGKey(0), p)
+    r = float(p2.restitution) / p.restitution
+    assert 0.95 - 1e-6 <= r <= 1.05 + 1e-6
+    cd = float(p2.base_cd) / p.base_cd
+    assert 0.9 - 1e-6 <= cd <= 1.1 + 1e-6
+    assert float(p2.mass) == p.mass and float(p2.radius) == p.radius
+    # flight sim still works with perturbed (traced) params
+    from vid2player3d_tpu.tennis import ball as B
+    res = B.simulate_flight(jnp.array([[0.0, 12.0, 1.0]]),
+                            jnp.array([[0.0, -20.0, 2.0]]),
+                            jnp.array([2.0]), num_frames=30, p=p2)
+    assert np.isfinite(np.asarray(res.traj)).all()
+
+
+def test_unknown_ball_field_rejected():
+    with pytest.raises(ValueError):
+        DomainRandomizer([RandSpec("ball_bogus", "uniform", (0.9, 1.1))])

@@ -160,7 +160,12 @@ _register(_tennis(
     dataclasses.replace(_STAGE1_ENV, num_envs=15360, substeps=6,
                         max_episode_length=300,
                         reward_type="return_w_estimate",
-                        reward_weights=(("pos", 0.1), ("ball_pos", 0.9))),
+                        reward_weights=(("pos", 0.1), ("ball_pos", 0.9)),
+                        # full-fidelity physics stages: two-way racket-ball
+                        # coupling + ball-vs-body contacts (PhysX always has
+                        # both, `humanoid_smpl_im_mvae.py:367-442,388-417`)
+                        ball_reaction_force=True,
+                        ball_body_contact=True),
     V2PConfig(horizon=32, minibatch_size=16384, mini_epochs=6,
               learning_rate=2e-5, sigma_init=-0.69, bounds_loss_coef=10.0),
     warm_start="federer_train_stage_1", discard_pretrained_sigma=True,
@@ -181,12 +186,15 @@ _register(_tennis(
 ))
 
 for _p in ("federer", "djokovic", "nadal"):
-    # inference/demo configs = stage-3 semantics at 30720 envs (`federer.yaml`)
+    # inference/demo configs = stage-3 semantics at 30720 envs (`federer.yaml`);
+    # the two-handed-backhand players get the two-hand fix
+    # (`djokovic.yaml:52` / `nadal.yaml:53` fix_two_hand_backhand_post)
     _register(_tennis(
         _p,
         f"Inference/demo config for {_p} ({_p}.yaml)",
         dataclasses.replace(CONFIGS["federer_train_stage_3"].env_tennis,
-                            num_envs=30720),
+                            num_envs=30720,
+                            two_hand_backhand=(_p in ("djokovic", "nadal"))),
         CONFIGS["federer_train_stage_3"].v2p,
         warm_start="federer_train_stage_3", player=_p,
     ))
@@ -195,6 +203,29 @@ for _p in ("federer", "djokovic", "nadal"):
             base = CONFIGS[f"federer_train_stage_{_s}"]
             _register(dataclasses.replace(base, name=f"{_p}_train_stage_{_s}",
                                           player=_p))
+
+# domain-randomized high-level training (`base_task.py:250-445` applies to
+# every reference task): obs/action noise + ball-constant perturbation
+_register(_tennis(
+    "federer_train_stage_1_dr",
+    "Stage 1 with domain randomization: ball COR/drag perturbation + "
+    "obs/action noise on a linear schedule",
+    dataclasses.replace(
+        _STAGE1_ENV,
+        rand_specs=(
+            _RS(field="ball_restitution", distribution="uniform",
+                rng=(0.95, 1.05), operation="scaling"),
+            _RS(field="ball_base_cd", distribution="uniform",
+                rng=(0.9, 1.1), operation="scaling"),
+            _RS(field="observations", distribution="gaussian",
+                rng=(0.0, 0.002), operation="additive",
+                schedule="linear", schedule_steps=3000),
+            _RS(field="actions", distribution="gaussian", rng=(0.0, 0.01),
+                operation="additive", schedule="linear",
+                schedule_steps=3000),
+        )),
+    CONFIGS["federer_train_stage_1"].v2p,
+))
 
 # dual-player rally configs (federer_djokovic.yaml, nadal_federer.yaml)
 for _pair in (("federer", "djokovic"), ("nadal", "federer")):

@@ -153,6 +153,11 @@ def _build_tennis(run_cfg, args):
     seed = args.seed or run_cfg.seed
     mvae_path = os.path.join(args.out, f"mvae_{run_cfg.player}")
     spec = _load_mvae_spec(mvae_path, run_cfg.player, seed)
+    if args.test:
+        # test-time players gate policy residuals to fh/bh swing phases
+        # (`mvae_player.py:301-419` is_train branch) — evaluation must run
+        # the eval-mode spec, not the training-time residual semantics
+        spec = dataclasses.replace(spec, is_train=False)
     rng = np.random.default_rng(seed)
     feats = (rng.standard_normal((64, P.FRAME_SIZE)) * 0.05).astype(np.float32)
     feats[:, 2] = 0.95

@@ -40,6 +40,12 @@ _MODEL_FIELDS = ("joint_pos", "body_com", "body_mass", "body_inertia",
                  "kp", "kd", "torque_lim", "armature",
                  "contact_offset", "contact_radius")
 
+# tennis-ball physical constants (`tennis/ball.py BallParams`), the analog of
+# the reference randomizing actor shape properties of the ball URDF
+# (`base_task.py:350-430` actor_properties); spec field = "ball_<name>"
+_BALL_FIELDS = ("mass", "radius", "base_cd", "restitution", "friction",
+                "spin_scale")
+
 
 def _sched_scale(spec: RandSpec, step) -> jnp.ndarray:
     if spec.schedule == "linear":
@@ -76,11 +82,14 @@ class DomainRandomizer:
     """Holds the spec list; all methods are pure and jit-safe."""
 
     def __init__(self, specs: Sequence[RandSpec]):
+        ball = tuple("ball_" + f for f in _BALL_FIELDS)
         for sp in specs:
-            if sp.field not in _MODEL_FIELDS + ("observations", "actions"):
+            if sp.field not in _MODEL_FIELDS + ball + ("observations",
+                                                       "actions"):
                 raise ValueError(f"unknown randomization target {sp.field!r}")
         self.specs = tuple(specs)
         self.model_specs = tuple(s for s in specs if s.field in _MODEL_FIELDS)
+        self.ball_specs = tuple(s for s in specs if s.field in ball)
         self.obs_specs = tuple(s for s in specs if s.field == "observations")
         self.act_specs = tuple(s for s in specs if s.field == "actions")
 
@@ -99,6 +108,21 @@ class DomainRandomizer:
                            step).astype(value.dtype)
             updates[sp.field] = _apply(value, factor, sp.operation)
         return dataclasses.replace(model, **updates)
+
+    def randomize_ball(self, key, params, step=0):
+        """Per-epoch scalar perturbation of the tennis-ball constants
+        (`tennis/ball.py BallParams` NamedTuple). One shared draw per field —
+        the reference likewise randomizes shape properties once per
+        randomization event, not per env (`base_task.py:350-430`)."""
+        if not self.ball_specs:
+            return params
+        updates = {}
+        for i, sp in enumerate(self.ball_specs):
+            k = jax.random.fold_in(key, 3000 + i)
+            name = sp.field[len("ball_"):]
+            factor = _draw(k, sp, (), step)
+            updates[name] = _apply(getattr(params, name), factor, sp.operation)
+        return params._replace(**updates)
 
     def randomize_obs(self, key, obs, step=0):
         """Per-element observation noise (`base_task.py:262-274`)."""

@@ -52,6 +52,7 @@ from ..physics.model import ArticulationModel, ArticulationState, ContactParams
 from ..tennis import ball as B
 from ..tennis import court, player as P
 from ..tennis.racket import grip_arrays
+from . import domain_rand
 
 
 @dataclasses.dataclass(frozen=True)
@@ -69,12 +70,27 @@ class TennisConfig:
     random_walk_in_recovery: bool = True
     # kinematic-pose fidelity fixes (humanoid_smpl_im_mvae.py)
     fix_head_orientation: bool = False   # look at the ball (`:605-634`)
+    # two-hand backhand: pull the free hand onto the racket handle during
+    # bh swing phases (the reference's `fix_two_hand_backhand_post`, set in
+    # djokovic/nadal configs, runs `optimize_two_hand_backhand`
+    # post-hoc at vis time, `mvae_controller_vis.py:181-190`; here a cheap
+    # fixed-iteration variant also runs INSIDE the fused step so the physics
+    # targets themselves are two-handed)
+    two_hand_backhand: bool = False
+    two_hand_iters: int = 8
     # initial ball: "pool" launches from the offline trajectory pool;
     # "serve_toss" synthesizes the serve toss from the free hand (`:526-560`)
     init_ball_type: str = "pool"
     # physics coupling: racket-ball contact reacts back on the wrist
     # (PhysX two-way coupling through racket shapes, `:367-442`)
     ball_reaction_force: bool = False
+    # ball collides with the humanoid's body spheres (PhysX collides the
+    # ball with every humanoid shape via the collision-filter setup,
+    # `humanoid_smpl_im_mvae.py:388-417`; without this the ball tunnels
+    # through the player). Inelastic deflection off the per-body geom
+    # spheres; racket-side wrist/hand are excluded (the racket disc owns
+    # that region).
+    ball_body_contact: bool = False
     # task machine
     reset_reaction_nframes: int = 70
     obs_ball_traj_length: int = 10
@@ -96,6 +112,11 @@ class TennisConfig:
     racket_restitution: float = 0.9
     spin_gain: float = 0.15     # rev/s per m/s tangential racket speed
     ball_traj_pool_len: int = 100
+    # domain randomization (`base_task.py:250-445`, lifted to the tennis task
+    # like every reference task inherits it); model fields perturb per epoch,
+    # "ball_*" fields perturb the BallParams constants, obs/action noise is
+    # per step. None = off.
+    rand_specs: Optional[Tuple["domain_rand.RandSpec", ...]] = None
 
     @property
     def num_actions(self) -> int:
@@ -195,6 +216,9 @@ class TennisEnv:
         self.pi_low_params = pi_low_params
         self.contact_params = contact_params
         self.ball_params = B.BallParams()
+        # domain randomization engine (`base_task.py:250-445`)
+        self.randomizer = domain_rand.DomainRandomizer(cfg.rand_specs) \
+            if cfg.rand_specs else None
 
         names = S.MUJOCO_JOINT_NAMES
         self.wrist_id = names.index("R_Wrist" if spec.righthand else "L_Wrist")
@@ -215,9 +239,21 @@ class TennisEnv:
         model so `with_arrays` re-binding stays consistent)."""
         return self.model.joint_pos
 
+    @property
+    def rest_joints_smpl(self):
+        """(N, 24, 3) global rest joint positions, SMPL order — the FK rest
+        pose consumed by the two-hand-backhand optimization (derived from the
+        model so `with_arrays` re-binding stays consistent)."""
+        off = self.model.joint_pos
+        g = [jnp.zeros_like(off[:, 0])]
+        for j in range(1, 24):
+            g.append(g[int(self.model.parents[j])] + off[:, j])
+        return jnp.stack(g, axis=1)[:, S.MUJOCO_2_SMPL]
+
     # -- array plumbing for SPMD (same contract as HumanoidImEnv) ------------
 
-    ARRAY_FIELDS = ("model", "motion_bodies", "init_conditions")
+    ARRAY_FIELDS = ("model", "motion_bodies", "init_conditions",
+                    "ball_params")
 
     def arrays(self):
         return {f: getattr(self, f) for f in self.ARRAY_FIELDS}
@@ -292,6 +328,23 @@ class TennisEnv:
         joint_rotmat = rm.at[:, self._HEAD].set(new_rm[:, 0]) \
             .at[:, self._NECK].set(new_rm[:, 1])
         return dataclasses.replace(mvae, joint_rotmat=joint_rotmat)
+
+    def _apply_two_hand(self, mvae: P.MVAEPlayerState) -> P.MVAEPlayerState:
+        """Two-hand backhand: adjust the free arm so both hands grip the
+        racket handle on bh swing frames. Mask matches the reference's
+        post-hoc fix (`mvae_controller_vis.py:185` swing_type==2 and
+        2 < phase < 5); the optimization is the batched jittable Adam loop
+        (`humanoid_smpl_im_mvae.py:948-1031`), run at few iterations so it
+        stays cheap inside the fused step."""
+        from ..tennis import twohand
+
+        mask = ((mvae.swing_type == 2)
+                & (mvae.phase_pred > 2.0) & (mvae.phase_pred < 5.0))
+        rm = twohand.optimize_two_hand_backhand(
+            mvae.joint_rotmat, self.rest_joints_smpl,
+            righthand=self.spec.righthand, iters=self.cfg.two_hand_iters,
+            mask=mask)
+        return dataclasses.replace(mvae, joint_rotmat=rm)
 
     def _kinematic_targets(self, mvae: P.MVAEPlayerState, res_root=None):
         """MVAE SMPL-order local rotmats -> sim PD dof targets (69, mujoco
@@ -377,9 +430,26 @@ class TennisEnv:
 
         Returns (traj, launch_pos, launch_vel, launch_vspin, ok) — `ok`
         marks hand-offs that actually clear the net; pool samples are
-        pre-filtered so the single-player path is always valid."""
-        traj, lpos, lvel, lspin = self._sample_ball(key, self.cfg.num_envs)
-        return traj, lpos, lvel, lspin, jnp.ones(self.cfg.num_envs, bool)
+        pre-filtered so the single-player path is always valid.
+
+        Opponent-position-conditioned sampling (`tennis_ball.py:437-442` via
+        the `start_pos` argument at `humanoid_smpl_im_mvae.py:505-506`): when
+        the previous rally ball ended on the far side (y > 0), the new launch
+        x tracks where it landed — the next incoming ball comes from where
+        the imaginary opponent would be."""
+        k_u, k_n = jax.random.split(key)
+        traj, lpos, lvel, lspin = self._sample_ball(k_u, self.cfg.num_envs)
+        n_traj, n_pos, n_vel, n_spin = self.gen.sample_near(
+            k_n, state.ball_pos[:, 0])
+        other_side = state.ball_pos[:, 1] > 0.0
+
+        def sel(a, b):
+            m = other_side.reshape((-1,) + (1,) * (a.ndim - 1))
+            return jnp.where(m, a, b)
+
+        return (sel(n_traj, traj), sel(n_pos, lpos), sel(n_vel, lvel),
+                jnp.where(other_side, n_spin, lspin),
+                jnp.ones(self.cfg.num_envs, bool))
 
     def _couple_done(self, terminate, done):
         """Rally coupling: dual mode terminates both paired envs when either
@@ -483,11 +553,14 @@ class TennisEnv:
     # -- ball substep integration with racket contact --------------------------
 
     def _ball_physics(self, state: TennisState, racket_new_pos,
-                      racket_normal):
+                      racket_normal, body_centers=None, body_radii=None):
         """Integrate the ball over the control step with aero forces, ground
-        bounce, and a swept racket-disc contact (the TPU equivalent of the
+        bounce, a swept racket-disc contact (the TPU equivalent of the
         reference's PhysX racket shapes + force-sensor detection,
-        `humanoid_smpl_im_mvae.py:711-808`)."""
+        `humanoid_smpl_im_mvae.py:711-808`), and optional inelastic
+        deflection off the humanoid body spheres (`body_centers` (N,24,3) /
+        `body_radii` (N,24) world geom spheres; the PhysX ball-vs-humanoid
+        collision filters, `:388-417`)."""
         cfg = self.cfg
         p = self.ball_params
         dt = cfg.control_dt / cfg.substeps
@@ -528,6 +601,26 @@ class TennisEnv:
             vel = jnp.where(hit[:, None], out_vel, vel)
             vspin = jnp.where(hit, out_spin, vspin)
             contact = contact | hit
+
+            # ball-vs-body sphere deflection: inelastic bounce off the
+            # deepest penetrated body sphere (skipped on racket-hit substeps
+            # so the paddle model owns its region)
+            if body_centers is not None:
+                db = pos_new[:, None] - body_centers            # (N,24,3)
+                dist_b = jnp.linalg.norm(db, axis=-1)           # (N,24)
+                pen = (body_radii + p.radius) - dist_b
+                jb = jnp.argmax(pen, axis=-1)
+                pen_j = jnp.take_along_axis(pen, jb[:, None], 1)[:, 0]
+                nrm = jnp.take_along_axis(
+                    db, jb[:, None, None].repeat(3, -1), 1)[:, 0]
+                nrm = nrm / (jnp.linalg.norm(nrm, axis=-1,
+                                             keepdims=True) + 1e-8)
+                vn_b = jnp.sum(vel * nrm, axis=-1)
+                bhit = (pen_j > 0.0) & (vn_b < 0.0) & ~hit
+                vel = jnp.where(bhit[:, None], vel - vn_b[:, None] * nrm,
+                                vel)
+                pos_new = jnp.where(bhit[:, None],
+                                    pos_new + nrm * pen_j[:, None], pos_new)
 
             # ground bounce
             ground = pos_new[:, 2] <= p.radius
@@ -647,10 +740,13 @@ class TennisEnv:
         res_root = action[:, n_res:n_res + 3] * cfg.residual_root_scale \
             if cfg.add_residual_root else None
 
-        # 3) kinematic MVAE frame (+ optional head look-at-ball fix)
+        # 3) kinematic MVAE frame (+ optional head look-at-ball fix and
+        # two-hand-backhand correction)
         mvae = P.step(self.spec, state.mvae, latents, residual)
         if cfg.fix_head_orientation:
             mvae = self._fix_head_orientation(mvae, state.ball_pos)
+        if cfg.two_hand_backhand:
+            mvae = self._apply_two_hand(mvae)
         dof_tar, tar_body_pos, tar_body_rot = self._kinematic_targets(
             mvae, res_root)
 
@@ -698,11 +794,28 @@ class TennisEnv:
             extra_force_w=extra_f, extra_torque_w=extra_t)
 
         # 6) racket from the new wrist pose; ball substeps + contacts
-        wrist_pos, wrist_quat = self._wrist_state(sim)
+        bp_new, bq_new, _, _ = engine.fk_world(self.model, sim)
+        wrist_pos = bp_new[:, self.wrist_id]
+        wrist_quat = bq_new[:, self.wrist_id]
         racket_pos, racket_normal = self._racket(wrist_pos, wrist_quat)
+        body_centers = body_radii = None
+        if cfg.ball_body_contact:
+            # world geom spheres of the 24 bodies (first 24 contact-sphere
+            # slots are the per-body geoms, `physics/asset.py:133-141`);
+            # racket-side wrist+hand excluded — the racket disc owns them
+            off = Q.quat_rotate(
+                bq_new.reshape(-1, 4),
+                self.model.contact_offset[:, :24].reshape(-1, 3)
+            ).reshape(bp_new.shape)
+            body_centers = bp_new + off
+            body_radii = self.model.contact_radius[:, :24]
+            hand_id = S.MUJOCO_JOINT_NAMES.index(
+                "R_Hand" if self.spec.righthand else "L_Hand")
+            body_radii = body_radii.at[:, self.wrist_id].set(0.0) \
+                                   .at[:, hand_id].set(0.0)
         (ball_pos, ball_vel, ball_vspin, contact, bounce, bpos, contact_now,
          bounce_now, racket_vel, impulse) = self._ball_physics(
-             state, racket_pos, racket_normal)
+             state, racket_pos, racket_normal, body_centers, body_radii)
 
         # 7) bounce-in bookkeeping + estimate at contact (:284-313)
         bounce_in = state.bounce_in | (

@@ -246,6 +246,8 @@ def export_rollout(agent, path: str, num_steps: int = 150) -> str:
             bp, _, _, _ = engine.fk_world(env.model, state2.sim)
             rec = dict(root_pos=state2.mvae.root_pos,
                        joint_rotmat=state2.mvae.joint_rotmat,
+                       phase=state2.mvae.phase_pred,
+                       swing=state2.mvae.swing_type,
                        ball_pos=state2.ball_pos,
                        racket_pos=state2.racket_pos,
                        racket_normal=state2.racket_normal,
@@ -262,5 +264,26 @@ def export_rollout(agent, path: str, num_steps: int = 150) -> str:
 
     state, obs = env.reset_all(jax.random.PRNGKey(7))
     _, rec = run(state, obs)
-    np.savez_compressed(path, **{k: np.asarray(v) for k, v in rec.items()})
+    rec = {k: np.asarray(v) for k, v in rec.items()}
+
+    if env.cfg.two_hand_backhand:
+        # post-hoc two-hand refinement of the recorded kinematics — the
+        # reference's `fix_two_hand_backhand_post` applied at render time
+        # (`mvae_controller_vis.py:181-190`, mask swing==2 & 2<phase<5) with
+        # the batch-mode optimizer weights (`humanoid_smpl_im_mvae.py:975-980`).
+        # The in-step fix already ran at few iterations; this polishes the
+        # exported frames at full iteration count.
+        from vid2player3d_tpu.tennis import twohand
+
+        T, N = rec["phase"].shape
+        mask = (rec["swing"] == 2) & (rec["phase"] > 2.0) & (rec["phase"] < 5.0)
+        rest = np.broadcast_to(np.asarray(env.rest_joints_smpl)[None],
+                               (T, N, 24, 3)).reshape(T * N, 24, 3)
+        rm = twohand.optimize_two_hand_backhand(
+            jnp.asarray(rec["joint_rotmat"].reshape(T * N, 24, 3, 3)),
+            jnp.asarray(rest), righthand=env.spec.righthand, iters=50,
+            mask=jnp.asarray(mask.reshape(T * N)))
+        rec["joint_rotmat"] = np.asarray(rm).reshape(T, N, 24, 3, 3)
+
+    np.savez_compressed(path, **rec)
     return path

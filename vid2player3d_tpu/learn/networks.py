@@ -30,19 +30,33 @@ class MLP(nn.Module):
 
 
 class ActorCritic(nn.Module):
-    """Separate actor/critic MLP trunks + mu/value heads."""
+    """Separate actor/critic MLP trunks + mu/value heads.
+
+    The mu head is small-init (σ scaled by `head_init_scale` relative to
+    lecun): the action is a RESIDUAL around the kinematic/reference target
+    (`im_network_builder.py:226-229` mu += target dof), so the policy must
+    START at the pure-PD behavior — a default-init head emits ~1-rad random
+    dof residuals and ~30 N random root forces (≈6σ of the exploration
+    noise e^-1.756), which both destroys the early rollouts and produces a
+    first-epoch KL so large that the adaptive LR schedule collapses to
+    min_lr before any learning happens."""
 
     num_actions: int
     actor_units: Sequence[int] = (1024, 1024, 512)
     critic_units: Sequence[int] = (1024, 1024, 512)
     dtype: jnp.dtype = jnp.float32
+    head_init_scale: float = 0.01
 
     @nn.compact
     def __call__(self, obs) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        head_init = nn.initializers.variance_scaling(
+            self.head_init_scale ** 2, "fan_in", "truncated_normal")
         a = MLP(self.actor_units, dtype=self.dtype, name="actor_mlp")(obs)
-        mu = nn.Dense(self.num_actions, dtype=jnp.float32, name="mu")(a)
+        mu = nn.Dense(self.num_actions, dtype=jnp.float32,
+                      kernel_init=head_init, name="mu")(a)
         c = MLP(self.critic_units, dtype=self.dtype, name="critic_mlp")(obs)
-        value = nn.Dense(1, dtype=jnp.float32, name="value")(c)
+        value = nn.Dense(1, dtype=jnp.float32, kernel_init=head_init,
+                         name="value")(c)
         return mu, value[..., 0]
 
 

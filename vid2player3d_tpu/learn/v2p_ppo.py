@@ -32,7 +32,8 @@ from ..envs.tennis import TennisEnv
 from ..utils import checkpoint as CK
 from . import running_norm as RN
 from .networks import V2PNet
-from .ppo import PPOConfig, diag_gaussian_neglogp, policy_kl
+from .ppo import (PPOConfig, diag_gaussian_neglogp, policy_kl,
+                  resolve_compute_dtype)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -88,7 +89,8 @@ class V2PPPO:
         self.obs_dim = env.obs_dim
         self.net = V2PNet(num_actions=self.num_actions,
                           actor_units=cfg.actor_units,
-                          critic_units=cfg.critic_units)
+                          critic_units=cfg.critic_units,
+                          dtype=resolve_compute_dtype(cfg.compute_dtype))
         key = jax.random.PRNGKey(seed)
         self.num_policies = cfg.num_policies
         if self.num_policies > 1:
@@ -100,8 +102,10 @@ class V2PPPO:
             self._init_params = self.net.init(key,
                                               jnp.zeros((1, self.obs_dim)))
         self._lane = jnp.arange(env.cfg.num_envs) % self.num_policies
-        self.tx = optax.chain(optax.clip_by_global_norm(cfg.grad_norm),
-                              optax.scale_by_adam(eps=1e-8))
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(cfg.grad_norm),
+            optax.scale_by_adam(
+                eps=1e-8, mu_dtype=resolve_compute_dtype(cfg.compute_dtype)))
         self.sigma = jnp.full((self.num_actions,), np.exp(cfg.sigma_init),
                               jnp.float32)
         self._key0 = key
@@ -195,25 +199,48 @@ class V2PPPO:
                ) -> Tuple[V2PTrainState, Dict[str, jnp.ndarray]]:
         cfg = self.cfg
         env = self.env.with_arrays(env_arrays)
-        key, k_roll, k_shuffle = jax.random.split(ts.key, 3)
+        key, k_roll, k_shuffle, k_dr = jax.random.split(ts.key, 4)
+
+        # domain randomization (`base_task.py:250-445` lifted to the tennis
+        # task): fresh model / ball-constant perturbation each epoch,
+        # obs/action noise per step (mirrors the ImitationPPO wiring)
+        dr = env.randomizer
+        dr_step = ts.epoch * cfg.horizon
+        if dr is not None and (dr.model_specs or dr.ball_specs):
+            upd = {}
+            if dr.model_specs:
+                upd["model"] = dr.randomize_model(
+                    jax.random.fold_in(k_dr, 0), env_arrays["model"],
+                    step=dr_step)
+            if dr.ball_specs:
+                upd["ball_params"] = dr.randomize_ball(
+                    jax.random.fold_in(k_dr, 1), env_arrays["ball_params"],
+                    step=dr_step)
+            env = env.with_arrays({**env_arrays, **upd})
 
         def step_fn(carry, t):
             env_state, obs, key = carry
-            key, k = jax.random.split(key)
+            key, k, k_n = jax.random.split(key, 3)
             mu, v_norm = self._forward(ts.params, ts.obs_norm, obs)
             value = RN.unnormalize_value(ts.val_norm, v_norm[:, None])[:, 0] \
                 if cfg.normalize_value else v_norm
             action = mu + self.sigma[None] * jax.random.normal(k, mu.shape)
             neglogp = diag_gaussian_neglogp(action, mu, self.sigma[None])
 
-            env_state2, out = env.step(env_state, action)
+            # DR action noise applies to what the env executes; the stored
+            # action stays the policy's (`base_task.py:276-287`)
+            env_action = dr.randomize_actions(k_n, action, dr_step) \
+                if dr is not None and dr.act_specs else action
+            env_state2, out = env.step(env_state, env_action)
+            obs_next = dr.randomize_obs(k_n, out.obs, dr_step) \
+                if dr is not None and dr.obs_specs else out.obs
 
             store = dict(obs=obs, action=action, mu=mu, neglogp=neglogp,
                          value=value, reward=out.reward,
                          done=out.done.astype(jnp.float32),
                          terminate=out.terminate.astype(jnp.float32),
                          sub_rewards=out.sub_rewards)
-            return (env_state2, out.obs, key), store
+            return (env_state2, obs_next, key), store
 
         (env_state, last_obs, _), traj = jax.lax.scan(
             step_fn, (ts.env_state, ts.last_obs, k_roll),

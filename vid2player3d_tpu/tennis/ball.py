@@ -92,7 +92,7 @@ class FlightResult(NamedTuple):
     final_vspin: jnp.ndarray   # (...,)
 
 
-@functools.partial(jax.jit, static_argnames=("num_frames", "substeps", "p"))
+@functools.partial(jax.jit, static_argnames=("num_frames", "substeps"))
 def simulate_flight(pos0, vel0, vspin0, num_frames: int = 100,
                     substeps: int = 4, p: BallParams = DEFAULT_PARAMS
                     ) -> FlightResult:
@@ -326,7 +326,7 @@ def _state_to_launch(ball_states):
     return pos, vel, vspin * sign
 
 
-@functools.partial(jax.jit, static_argnames=("num_frames", "p"))
+@functools.partial(jax.jit, static_argnames=("num_frames",))
 def estimate_out(ball_states, num_frames: int = 120,
                  p: BallParams = DEFAULT_PARAMS):
     """Outgoing-bounce estimate from post-racket-contact ball states (N,13).
@@ -349,7 +349,7 @@ def estimate_out(ball_states, num_frames: int = 120,
     return valid, bounce_pos, bounce_time, max_height
 
 
-@functools.partial(jax.jit, static_argnames=("traj_length", "p"))
+@functools.partial(jax.jit, static_argnames=("traj_length",))
 def estimate_in(ball_states, traj_length: int = 100,
                 p: BallParams = DEFAULT_PARAMS):
     """Dual-play hand-off (reference `tennis_ball_in_estimator.py:49-81`):
