@@ -70,6 +70,7 @@ def test_forward_shapes_and_residual_base():
     assert np.all(np.isfinite(np.asarray(mu)))
 
 
+@pytest.mark.slow
 def test_train_epoch_aux_losses_finite_and_learning():
     """A train epoch under corruption must produce finite aux losses, and a
     few epochs must DECREASE the aux dof loss (the context heads learn)."""
@@ -87,6 +88,7 @@ def test_train_epoch_aux_losses_finite_and_learning():
     assert float(m["aux_dof_loss"]) <= float(m0["aux_dof_loss"]) * 1.5
 
 
+@pytest.mark.slow
 def test_confidence_channel_changes_output():
     """The conf channel must actually be consumed: zeroing it changes the
     context-head input and (after one gradient step on non-zero heads) the

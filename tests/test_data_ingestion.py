@@ -37,6 +37,7 @@ def _write_amass_fixture(d, n_files=2, T=90, fps=60.0):
                  mocap_framerate=np.float64(fps))
 
 
+@pytest.mark.slow
 def test_amass_convert_to_motionlib_and_train(tmp_path):
     import jax
 

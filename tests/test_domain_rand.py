@@ -74,6 +74,7 @@ def test_unknown_field_rejected():
         DomainRandomizer([RandSpec("not_a_field")])
 
 
+@pytest.mark.slow
 def test_wired_into_training():
     """End-to-end wiring (the VERDICT's 'implemented-but-unreachable is not
     implemented'): a config with rand_specs perturbs the model each epoch and

@@ -31,6 +31,7 @@ def agent():
                   seed=1)
 
 
+@pytest.mark.slow
 def test_eval_tennis_per_cycle_stats(agent):
     report, stats_pe = eval_tennis(agent, num_steps=40, per_env=True)
     assert report["cycles"] >= 1  # at least one swing cycle finished
@@ -58,6 +59,7 @@ def test_select_best_ranks_by_distance(agent):
     assert list(ids) == [1, 2]
 
 
+@pytest.mark.slow
 def test_export_and_render_html(agent, tmp_path):
     npz = os.path.join(tmp_path, "roll.npz")
     export_rollout(agent, npz, num_steps=12)
@@ -71,6 +73,7 @@ def test_export_and_render_html(agent, tmp_path):
     assert len(html) < 8_000_000
 
 
+@pytest.mark.slow
 def test_imitation_export_with_ref_ghost(tmp_path):
     import jax
 

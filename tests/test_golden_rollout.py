@@ -42,6 +42,7 @@ def _rollout(nsteps=6):
         np.asarray(state.sim.joint_quat)
 
 
+@pytest.mark.slow
 def test_rollout_bit_exact_deterministic():
     obs1, root1, jq1 = _rollout()
     obs2, root2, jq2 = _rollout()

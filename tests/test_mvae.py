@@ -109,3 +109,22 @@ def test_checkpoint_surgery_pads_grown_dims(tmp_path):
     assert np.allclose(got["dense"]["kernel"][:, 3:], 0.0)
     assert np.allclose(got["dense"]["bias"], [1, 1, 1, 0, 0])
     assert np.allclose(got["extra"], 7.0)  # new param keeps fresh init
+
+
+def test_random_walk_harness_reports_metrics(tmp_path):
+    """MVAE rollout test harness (VERDICT r02 missing #6, reference
+    `motion_vae/test.py:16-80`): random-walk metrics are finite and the
+    bone-length scale matches the dataset's skeleton."""
+    from vid2player3d_tpu.mvae.eval import report_for_trainer
+
+    opt = tiny_opt(checkpoint_dir=str(tmp_path))
+    ds = make_synthetic_pose_dataset(opt, num_seqs=3, T=60, seed=0)
+    tr = MVAETrainer(opt, ds)
+    for _ in range(3):
+        tr.train_epoch(batches_per_epoch=2)
+    rep = report_for_trainer(tr, num_steps=60, num_envs=4)
+    for k in ("bone_len_mean", "bone_len_drift", "foot_skate",
+              "phase_step_mean", "phase_smooth_frac", "root_speed"):
+        assert k in rep and np.isfinite(rep[k]), (k, rep)
+    assert rep["finite"]
+    assert 0.05 < rep["bone_len_mean"] < 2.0, rep

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vid2player3d_tpu import parallel
 
@@ -26,6 +27,7 @@ def test_data_parallel_mesh_from_cpu_devices(cpu_devices):
     assert mesh.axis_names == ("data",)
 
 
+@pytest.mark.slow
 def test_sharded_epoch_matches_unsharded(cpu_mesh):
     """One PPO epoch sharded over 8 virtual devices: rollout-level metrics
     (reward, alive ratio) must match the single-device run exactly — the SPMD

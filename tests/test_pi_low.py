@@ -47,6 +47,7 @@ def _rollout(env, nsteps=8, seed=2):
     return state, out
 
 
+@pytest.mark.slow
 def test_zero_policy_matches_pd_fallback():
     """A zero-weight pi_low outputs zero residuals, so the rollout must be
     bit-identical to the PD-only fallback — validates the residual-action
@@ -87,6 +88,7 @@ def test_checkpoint_roundtrip_into_frozen(tmp_path):
     assert float(params["obs_norm"].n) == 32.0
 
 
+@pytest.mark.slow
 def test_full_pipeline_train_then_embed(tmp_path):
     """amass_im-style train → checkpoint → tennis env with pi_low loaded:
     the hierarchical stack steps and stays finite, and the embedded policy

@@ -45,6 +45,7 @@ def test_reset_lane_roles(env):
     assert np.all(np.isfinite(np.asarray(obs)))
 
 
+@pytest.mark.slow
 def test_done_coupled_across_lanes(env):
     state, _ = env.reset_all(jax.random.PRNGKey(2))
     step = jax.jit(env.step)
@@ -59,6 +60,7 @@ def test_done_coupled_across_lanes(env):
         assert np.all(np.isfinite(np.asarray(out.obs)))
 
 
+@pytest.mark.slow
 def test_handoff_mirrors_partner_ball(env):
     """A hit on lane 0 hands lane 1 the mirrored incoming ball."""
     state, _ = env.reset_all(jax.random.PRNGKey(4))
@@ -94,6 +96,7 @@ def test_handoff_mirrors_partner_ball(env):
             assert np.asarray(state.ball_vel)[odd, 1] <= 0.0
 
 
+@pytest.mark.slow
 def test_dual_policy_routing_trains():
     """V2PPPO(num_policies=2) runs one epoch and keeps two distinct nets."""
     key = jax.random.PRNGKey(0)

@@ -57,6 +57,7 @@ def test_head_fix_turns_head_toward_ball():
                                np.asarray(state.mvae.joint_rotmat), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_head_fix_env_steps():
     env = _env(fix_head_orientation=True)
     state, _ = env.reset_all(jax.random.PRNGKey(2))
@@ -66,6 +67,7 @@ def test_head_fix_env_steps():
     assert np.all(np.isfinite(np.asarray(out.obs)))
 
 
+@pytest.mark.slow
 def test_residual_root_action_dims_and_effect():
     """The residual-root action shifts the kinematic target root, which
     reaches the physics through the embedded policy's observation

@@ -28,6 +28,7 @@ def agent():
                                  lr_schedule="adaptive"), seed=3)
 
 
+@pytest.mark.slow
 def test_epoch_runs_and_metrics_finite(agent):
     ts = agent.init_state()
     ts, m = agent.train_epoch(ts)

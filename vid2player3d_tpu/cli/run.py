@@ -31,6 +31,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--horizon", type=int, default=None)
     p.add_argument("--minibatch_size", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None,
+                   help="override the config's learning rate")
+    p.add_argument("--lr_schedule", default=None,
+                   choices=("constant", "adaptive"))
     p.add_argument("--checkpoint", default=None,
                    help="checkpoint to load (overrides the config's warm start)")
     p.add_argument("--pi_low_checkpoint", default=None,
@@ -51,6 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--select_best", action="store_true",
                    help="with --render: rank envs by behavioral stats and "
                         "record the best (mvae_controller_vis.py:149-156)")
+    p.add_argument("--pre_run", action="store_true",
+                   help="mvae configs: 5-epoch smoke train + random-walk "
+                        "rollout metrics (reference motion_vae/train.py:31-36)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of training epochs "
                         "2-4 into DIR (view with xprof/tensorboard)")
@@ -113,9 +120,10 @@ def _build_im(run_cfg, args):
     env_cfg, ppo_cfg = run_cfg.env_im, run_cfg.ppo
     if args.num_envs:
         env_cfg = dataclasses.replace(env_cfg, num_envs=args.num_envs)
-    for f in ("horizon", "minibatch_size"):
+    for f, dst in (("horizon", "horizon"), ("minibatch_size", "minibatch_size"),
+                   ("lr", "learning_rate"), ("lr_schedule", "lr_schedule")):
         if getattr(args, f):
-            ppo_cfg = dataclasses.replace(ppo_cfg, **{f: getattr(args, f)})
+            ppo_cfg = dataclasses.replace(ppo_cfg, **{dst: getattr(args, f)})
     ppo_cfg = _clamp_minibatch(ppo_cfg, env_cfg.num_envs)
     if args.motion_file:
         lib = MotionLib.load(args.motion_file)
@@ -145,9 +153,10 @@ def _build_tennis(run_cfg, args):
     env_cfg, v2p_cfg = run_cfg.env_tennis, run_cfg.v2p
     if args.num_envs:
         env_cfg = dataclasses.replace(env_cfg, num_envs=args.num_envs)
-    for f in ("horizon", "minibatch_size"):
+    for f, dst in (("horizon", "horizon"), ("minibatch_size", "minibatch_size"),
+                   ("lr", "learning_rate"), ("lr_schedule", "lr_schedule")):
         if getattr(args, f):
-            v2p_cfg = dataclasses.replace(v2p_cfg, **{f: getattr(args, f)})
+            v2p_cfg = dataclasses.replace(v2p_cfg, **{dst: getattr(args, f)})
     v2p_cfg = _clamp_minibatch(v2p_cfg, env_cfg.num_envs)
 
     seed = args.seed or run_cfg.seed
@@ -225,9 +234,11 @@ def _load_mvae_spec(mvae_dir: str, player: str, seed: int):
             make_synthetic_pose_dataset
 
         opt = MVAEOption.load(player)
+        opt.checkpoint_dir = os.path.dirname(mvae_dir) or "."
+        opt.model_ver = os.path.basename(mvae_dir)
         ds = make_synthetic_pose_dataset(opt)
         tr = MVAETrainer(opt, ds)
-        tr.load_checkpoint(os.path.join(mvae_dir, "latest"))
+        tr.load_checkpoint("latest")
         return P.spec_from_trainer(tr, player=player)
     print(f"NOTE: no trained MVAE at {meta}; using a random spec")
     return P.make_random_spec(jax.random.PRNGKey(seed), player=player)
@@ -301,6 +312,15 @@ def _eval_loop(agent, run_cfg, args):
 
 def main(argv: Optional[list] = None) -> int:
     args = build_parser().parse_args(argv)
+    import jax as _jax
+
+    # persistent compilation cache: repeat CLI invocations (curriculum
+    # stages, resumes) skip the multi-minute first compile
+    _jax.config.update("jax_compilation_cache_dir",
+                       os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                      "/tmp/jax_cache"))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     from vid2player3d_tpu.cli.configs import get_config
 
     run_cfg = get_config(args.cfg)
@@ -310,19 +330,34 @@ def main(argv: Optional[list] = None) -> int:
         from vid2player3d_tpu.mvae import MVAEOption, MVAETrainer, \
             make_synthetic_pose_dataset
 
+        from vid2player3d_tpu.mvae.eval import report_for_trainer
+
         opt = MVAEOption.load(run_cfg.mvae_version)
         if args.seed is not None:
             opt.seed = args.seed
+        # checkpoints land at <out>/mvae_<player>/latest.npz — the location
+        # `_load_mvae_spec` searches when building tennis configs
+        opt.checkpoint_dir = args.out
+        opt.model_ver = f"mvae_{run_cfg.player}"
         ds = make_synthetic_pose_dataset(opt)
         trainer = MVAETrainer(opt, ds)
-        trainer.checkpoint_dir = args.out
+        if args.test:
+            # random-walk rollout harness for a trained MVAE (reference
+            # `motion_vae/test.py:16-80`)
+            trainer.load_checkpoint("latest")
+            print(json.dumps(report_for_trainer(trainer), indent=2))
+            return 0
         epochs = args.epochs or (opt.n_epochs + opt.n_epochs_decay)
+        if args.pre_run:
+            # 5-epoch smoke + rollout metrics (`train.py:31-36 --pre_run`)
+            epochs = 5
         logger = MetricsLogger(args.out, epochs)
         for e in range(1, epochs + 1):
             m = trainer.train_epoch()
             logger.log(e, m, 0)
             if e % args.save_every == 0 or e == epochs:
                 trainer.save_checkpoint("latest")
+        print(json.dumps(report_for_trainer(trainer, num_steps=120), indent=2))
         return 0
 
     agent = _build_im(run_cfg, args) if run_cfg.kind == "im" \

@@ -1,24 +1,27 @@
-"""FBX ASCII importer for skeleton animations.
+"""FBX importer (ASCII and binary) for skeleton animations.
 
 Replacement for poselib's FBX import backend
 (`poselib/poselib/skeleton/backend/fbx/fbx_read_wrapper.py` +
 `fbx_py27_backend.py`, reference SURVEY §2.5): the reference shells out to a
-python2 process linked against the proprietary Autodesk FBX SDK; here a small
-pure-Python parser reads the *ASCII* FBX 7.x format directly — no native SDK,
-no subprocess — and produces `SkeletonTree` / `SkeletonMotion` containers
+python2 process linked against the proprietary Autodesk FBX SDK; here small
+pure-Python parsers read both the ASCII FBX 7.x format and the binary
+Kaydara container (the format mocap tools actually export) — no native SDK,
+no subprocess — and produce `SkeletonTree` / `SkeletonMotion` containers
 ready for the retargeting pipeline (`core/skeleton.py retarget_to`).
 
 Scope: skeleton (LimbNode/Null/Root models), rest pose from
 `Lcl Translation` / `Lcl Rotation` / `PreRotation` Properties70 entries, and
 baked per-joint animation from AnimationCurveNode d|X/d|Y/d|Z curves
 (KeyTime / KeyValueFloat, linear resampling to a fixed fps). Euler rotation
-order XYZ (the FBX default); binary FBX is detected and rejected with a
-pointer to `fbx2ascii`-style conversion.
+order XYZ (the FBX default). Both parsers emit the same `Node` tree, so
+scene extraction is format-agnostic.
 """
 
 from __future__ import annotations
 
 import re
+import struct
+import zlib
 from typing import Dict, List, Optional, Tuple
 
 import jax.numpy as jnp
@@ -149,6 +152,110 @@ def parse_fbx_ascii(text: str) -> Node:
 
 
 # ---------------------------------------------------------------------------
+# binary (Kaydara) record parser
+# ---------------------------------------------------------------------------
+
+_BIN_MAGIC = b"Kaydara FBX Binary  \x00"
+
+_SCALAR_FMT = {b"Y": ("<h", 2), b"C": ("<b", 1), b"I": ("<i", 4),
+               b"F": ("<f", 4), b"D": ("<d", 8), b"L": ("<q", 8)}
+_ARRAY_DTYPE = {b"f": np.float32, b"d": np.float64, b"l": np.int64,
+                b"i": np.int32, b"b": np.uint8}
+
+
+def _bin_string(raw: bytes) -> str:
+    """Binary FBX stores names as 'Name\\x00\\x01Class'; ASCII writes
+    'Class::Name'. Normalize to the ASCII convention so extraction code
+    (`.split("::")[-1]`) works unchanged."""
+    parts = raw.split(b"\x00\x01")
+    parts = [p.decode("utf-8", errors="replace") for p in reversed(parts)]
+    return "::".join(parts)
+
+
+def parse_fbx_binary(data: bytes) -> Node:
+    """Parse the binary FBX container into the same `Node` tree the ASCII
+    parser produces (array payloads become an `a` child node, matching the
+    7.x ASCII `KeyTime: *N { a: ... }` layout)."""
+    if not data.startswith(_BIN_MAGIC):
+        raise ValueError("not a binary FBX file")
+    version = struct.unpack_from("<I", data, 23)[0]
+    # v7.5 widened the record header fields to 64-bit
+    wide = version >= 7500
+    ofs_fmt, ofs_size = ("<Q", 8) if wide else ("<I", 4)
+    sentinel = (3 * ofs_size + 1) * b"\x00"   # null record terminates a list
+
+    def read_props(pos: int, count: int, node: Node) -> int:
+        arrays = []
+        for _ in range(count):
+            code = data[pos:pos + 1]
+            pos += 1
+            if code in _SCALAR_FMT:
+                fmt, size = _SCALAR_FMT[code]
+                v = struct.unpack_from(fmt, data, pos)[0]
+                pos += size
+                node.props.append(bool(v) if code == b"C" else v)
+            elif code in _ARRAY_DTYPE:
+                n, enc, clen = struct.unpack_from("<III", data, pos)
+                pos += 12
+                dt = _ARRAY_DTYPE[code]
+                if enc == 1:
+                    raw = zlib.decompress(data[pos:pos + clen])
+                    pos += clen
+                else:
+                    nbytes = n * dt().itemsize
+                    raw = data[pos:pos + nbytes]
+                    pos += nbytes
+                arr = np.frombuffer(raw, dtype=dt)[:n]
+                arrays.append(arr)
+            elif code == b"S":
+                n = struct.unpack_from("<I", data, pos)[0]
+                pos += 4
+                node.props.append(_bin_string(data[pos:pos + n]))
+                pos += n
+            elif code == b"R":
+                n = struct.unpack_from("<I", data, pos)[0]
+                pos += 4 + n
+            else:
+                raise ValueError(f"unknown FBX property type {code!r}")
+        for arr in arrays:
+            # mirror the ASCII `a:` child so `_array_values` finds it
+            node.children.append(Node("a", [v.item() for v in arr]))
+        return pos
+
+    def read_node(pos: int):
+        end = struct.unpack_from(ofs_fmt, data, pos)[0]
+        nprops = struct.unpack_from(ofs_fmt, data, pos + ofs_size)[0]
+        pos += 3 * ofs_size           # skip EndOffset/NumProps/PropListLen
+        if end == 0:
+            return None, pos + 1      # null record
+        name_len = data[pos]
+        pos += 1
+        name = data[pos:pos + name_len].decode("utf-8", errors="replace")
+        pos += name_len
+        node = Node(name, [])
+        pos = read_props(pos, nprops, node)
+        while pos < end:
+            if data[pos:pos + len(sentinel)] == sentinel:
+                pos += len(sentinel)
+                break
+            child, pos = read_node(pos)
+            if child is not None:
+                node.children.append(child)
+        return node, end
+
+    root = Node("__root__", [])
+    pos = 27
+    while pos < len(data) - len(sentinel):
+        if data[pos:pos + len(sentinel)] == sentinel:
+            break
+        node, pos = read_node(pos)
+        if node is None:
+            break
+        root.children.append(node)
+    return root
+
+
+# ---------------------------------------------------------------------------
 # scene extraction
 # ---------------------------------------------------------------------------
 
@@ -182,13 +289,11 @@ def import_fbx_motion(path: str, fps: float = 30.0,
                       root_joint: Optional[str] = None) -> SkeletonMotion:
     """Load an ASCII FBX mocap file into a `SkeletonMotion`."""
     with open(path, "rb") as f:
-        head = f.read(23)
-    if head.startswith(b"Kaydara FBX Binary"):
-        raise ValueError(
-            "binary FBX not supported — convert to ASCII (e.g. with the "
-            "Autodesk FBX converter) first")
-    with open(path, "r", errors="replace") as f:
-        doc = parse_fbx_ascii(f.read())
+        data = f.read()
+    if data.startswith(_BIN_MAGIC):
+        doc = parse_fbx_binary(data)
+    else:
+        doc = parse_fbx_ascii(data.decode("utf-8", errors="replace"))
 
     objects = doc.first("Objects")
     conns = doc.first("Connections")

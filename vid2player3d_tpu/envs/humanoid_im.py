@@ -372,11 +372,20 @@ class HumanoidImEnv:
         reward = jnp.where(was_done, 0.0, reward)
         sub_rewards = jnp.where(was_done[:, None], 0.0, sub_rewards)
 
-        # NaN latch (`physics_mvae_controller.py:321-328,412-414`): a diverged
-        # simulation terminates the env and its obs are sanitized so that
-        # alive-masked losses stay finite (NaN·0 = NaN otherwise)
-        bad = ~jnp.all(jnp.isfinite(obs), axis=-1)
-        obs = jnp.nan_to_num(obs, nan=0.0, posinf=0.0, neginf=0.0)
+        # Divergence latch (`physics_mvae_controller.py:321-328,412-414`): a
+        # diverged simulation terminates the env and its obs are sanitized so
+        # that alive-masked losses stay finite (NaN·0 = NaN otherwise). The
+        # latch triggers on MAGNITUDE as well as NaN/inf: a blown-up sim can
+        # sit at 1e30 — finite, but its square overflows f32 inside the
+        # critic/bounds losses and the running-stat updates, poisoning the
+        # whole batch. No legitimate state exceeds ~1e3. The body-rot block
+        # must sanitize to IDENTITY quaternions, not zeros — normalizing a
+        # zero quat downstream would re-create the NaN.
+        bad = ~jnp.all(jnp.isfinite(obs) & (jnp.abs(obs) < 1e6), axis=-1)
+        safe = jnp.zeros((obs.shape[-1],), obs.dtype)
+        safe = safe.at[72:168].set(
+            jnp.tile(jnp.array([0.0, 0.0, 0.0, 1.0], obs.dtype), 24))
+        obs = jnp.where(bad[:, None], safe[None], obs)
         reward = jnp.where(bad, 0.0, reward)
         sub_rewards = jnp.where(bad[:, None], 0.0, sub_rewards)
 

@@ -873,7 +873,12 @@ class TennisEnv:
         out_of_court = ((root_pos[:, 0] < cmin[0]) | (root_pos[:, 1] < cmin[1])
                         | (root_pos[:, 0] > cmax[0])
                         | (root_pos[:, 1] > cmax[1]))
-        has_nan = ~jnp.all(jnp.isfinite(obs), axis=-1)
+        # magnitude-latched like the imitation env: a blown-up sim can be
+        # finite at 1e30 yet overflow every squared term downstream; zero
+        # the whole row so the learner's batch stays bounded (the env
+        # terminates and re-resets next step)
+        has_nan = ~jnp.all(jnp.isfinite(obs) & (jnp.abs(obs) < 1e6), axis=-1)
+        obs = jnp.where(has_nan[:, None], 0.0, obs)
         terminate = out_of_court | has_nan
 
         ball_passed = (ball_pos[:, 1] < root_pos[:, 1] - 1.0) \

@@ -97,8 +97,12 @@ def resolve_compute_dtype(name: str):
     """"auto" -> bfloat16 on TPU, float32 on CPU/GPU (CPU bf16 is emulated
     and slow; tests run the CPU mesh in f32)."""
     if name == "auto":
-        # the TPU plugin in this image registers as platform "axon"
-        return jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+        # decide from the default DEVICE, not default_backend(): a session
+        # can pin jax_default_device to CPU while a TPU plugin (platform
+        # "axon" in this image) is still the highest-priority backend
+        dev = jax.config.jax_default_device
+        platform = dev.platform if dev is not None else jax.default_backend()
+        return jnp.float32 if platform == "cpu" else jnp.bfloat16
     return {"f32": jnp.float32, "bf16": jnp.bfloat16}[name]
 
 
@@ -175,25 +179,38 @@ class ImitationPPO:
         self.num_minibatches = nbatch // cfg.minibatch_size
 
     def save_checkpoint(self, path: str, ts: TrainState) -> None:
-        """Persist policy + running normalizers (reference rl_games .pth holds
-        model weights and running stats, `im_agent.py:255-266`)."""
+        """Persist policy + running normalizers + optimizer state + schedule
+        scalars — full resume like rl_games' .pth (model, running stats AND
+        optimizer, `common_agent.py` get_full_state_weights;
+        `im_agent.py:255-266`)."""
         from ..utils import checkpoint as CK
 
         CK.save_pytree(path, {"params": ts.params, "obs_norm": ts.obs_norm,
-                              "val_norm": ts.val_norm})
+                              "val_norm": ts.val_norm,
+                              "opt_state": ts.opt_state,
+                              "epoch": ts.epoch, "lr": ts.lr})
 
     def load_checkpoint(self, path: str) -> None:
-        """Warm start: load params + running stats into the init template
-        (optimizer state restarts fresh, as the reference's `--resume` path
-        re-creates the Adam state; stats migration per `im_agent.py:141-155`)."""
+        """Full resume: params + running stats + optimizer state + epoch/lr
+        (stats migration per `im_agent.py:141-155`). Checkpoints written
+        before optimizer state was saved load fine — missing keys keep the
+        fresh Adam init (surgery semantics)."""
         from ..utils import checkpoint as CK
 
         like = {"params": self._init.params, "obs_norm": self._init.obs_norm,
-                "val_norm": self._init.val_norm}
+                "val_norm": self._init.val_norm,
+                "opt_state": self._init.opt_state,
+                "epoch": self._init.epoch, "lr": self._init.lr}
         loaded = CK.load_pytree_with_surgery(path, like)
+        # lr is controller state only under the adaptive schedule; constant-lr
+        # warm starts keep the NEW config's rate (stage-2 fine-tunes drop the
+        # lr, `djokovic_im.yaml` lr 1e-5 from amass_im 2e-5)
+        lr = loaded["lr"] if self.cfg.lr_schedule == "adaptive" \
+            else self._init.lr
         self._init = dataclasses.replace(
             self._init, params=loaded["params"], obs_norm=loaded["obs_norm"],
-            val_norm=loaded["val_norm"])
+            val_norm=loaded["val_norm"], opt_state=loaded["opt_state"],
+            epoch=loaded["epoch"], lr=lr)
 
     def init_state(self) -> TrainState:
         # fresh buffers every call: train_epoch donates its input state, so the

@@ -121,8 +121,11 @@ class V2PPPO:
             RN.RunningNormState.create(self.obs_dim)
         val_norm = getattr(self, "_init_val_norm", None) or \
             RN.RunningNormState.create(1)
+        opt_state = getattr(self, "_init_opt_state", None) or \
+            self.tx.init(params)
+        opt_state = jax.tree_util.tree_map(jnp.copy, opt_state)
         ts = V2PTrainState(
-            params=params, opt_state=self.tx.init(params),
+            params=params, opt_state=opt_state,
             obs_norm=jax.tree_util.tree_map(jnp.copy, obs_norm),
             val_norm=jax.tree_util.tree_map(jnp.copy, val_norm),
             env_state=env_state, last_obs=obs, key=key,
@@ -149,21 +152,28 @@ class V2PPPO:
         on grown obs/action dims (`v2p_agent.py:46-96`). Running obs/value
         normalizers are restored too — the reference migrates running stats
         explicitly (`im_agent.py:141-155`); grown obs dims pad mean=0/var=1.
-        A single-policy checkpoint tiles into dual stacked params."""
+        A single-policy checkpoint tiles into dual stacked params. Optimizer
+        moments restore when present (zero-padded on grown dims — new dims
+        start with fresh moments, exactly the surgery semantics); older
+        checkpoints without them keep the fresh Adam init."""
         like = {"params": self._init_params,
                 "obs_norm": RN.RunningNormState.create(self.obs_dim),
-                "val_norm": RN.RunningNormState.create(1)}
+                "val_norm": RN.RunningNormState.create(1),
+                "opt_state": self.tx.init(self._init_params)}
         loaded = CK.load_pytree_with_surgery(
             path, like, fill_overrides={"var": 1.0})
         self._init_params = loaded["params"]
         self._init_obs_norm = loaded["obs_norm"]
         self._init_val_norm = loaded["val_norm"]
+        self._init_opt_state = loaded["opt_state"]
 
     def save_checkpoint(self, path: str, ts: V2PTrainState):
-        """Persist policy + running normalizers (matching `ImitationPPO`;
-        weights alone silently pair with fresh zero-mean stats on reload)."""
+        """Persist policy + running normalizers + optimizer state (matching
+        `ImitationPPO`; rl_games full-state resume). Env state is rebuilt on
+        resume — the reference likewise re-creates the sim on restart."""
         CK.save_pytree(path, {"params": ts.params, "obs_norm": ts.obs_norm,
-                              "val_norm": ts.val_norm})
+                              "val_norm": ts.val_norm,
+                              "opt_state": ts.opt_state})
 
     # -- forward ---------------------------------------------------------------
 

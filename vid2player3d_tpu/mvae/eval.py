@@ -1,0 +1,113 @@
+"""MVAE rollout test harness (VERDICT r02 missing #7).
+
+Analog of the reference's random-walk rollout tester
+(`/root/reference/vid2player/motion_vae/test.py:16-80`): drive a trained MVAE
+autoregressively with random latents and quantify whether the generated
+motion stays body-plausible, instead of eyeballing a render. Metrics:
+
+- **bone-length drift**: mean skeleton bone length at the end of the rollout
+  vs the start — a decoder that forgets the body geometry drifts;
+- **foot skate**: mean horizontal speed of the lower foot while it is near
+  its own low point (real locomotion plants the stance foot);
+- **phase step**: mean per-frame phase advance and the fraction of frames
+  with a small, forward phase step — a usable phase channel advances
+  smoothly through the swing cycle (`mvae_player.py:276-278`);
+- **root speed**: mean root displacement per frame (sanity: not exploding,
+  not frozen).
+
+The rollout reuses the tennis player's decode/integrate machinery
+(`tennis/player.py step`) so harness results reflect exactly what the
+hierarchical controller would consume.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.smpl import SMPL_BONE_ORDER_NAMES, SMPL_PARENTS
+from ..tennis import player as P
+
+
+def random_walk_rollout(spec: "P.MVAEPlayerSpec", init_feature_raw,
+                        num_steps: int = 300, seed: int = 0,
+                        latent_scale: float = 1.0):
+    """Autoregressive rollout with z ~ N(0, latent_scale): returns stacked
+    (T, N, ...) arrays of root_pos, joint_pos (world, 23 joints), phase."""
+    state = P.reset(spec, jnp.asarray(init_feature_raw))
+    N = init_feature_raw.shape[0]
+    key = jax.random.PRNGKey(seed)
+
+    def step_fn(carry, k):
+        state = carry
+        z = latent_scale * jax.random.normal(k, (N, spec.latent_size))
+        state = P.step(spec, state, z, None)
+        rec = (state.root_pos, state.joint_pos_kin, state.phase_pred)
+        return state, rec
+
+    keys = jax.random.split(key, num_steps)
+    _, (root, joints, phase) = jax.lax.scan(step_fn, state, keys)
+    return np.asarray(root), np.asarray(joints), np.asarray(phase)
+
+
+def _bone_lengths(root, joints):
+    """Mean bone length per frame. root (T,N,3) world pelvis; joints
+    (T,N,23,3) world joints 1..23 in SMPL order."""
+    full = np.concatenate([root[:, :, None], joints], axis=2)  # (T,N,24,3)
+    lens = []
+    for j in range(1, 24):
+        p = int(SMPL_PARENTS[j])
+        lens.append(np.linalg.norm(full[:, :, j] - full[:, :, p], axis=-1))
+    return np.stack(lens, axis=-1).mean(-1)                    # (T,N)
+
+
+def random_walk_metrics(spec: "P.MVAEPlayerSpec", init_feature_raw,
+                        num_steps: int = 300, seed: int = 0
+                        ) -> Dict[str, float]:
+    root, joints, phase = random_walk_rollout(spec, init_feature_raw,
+                                              num_steps, seed)
+    T = root.shape[0]
+    report: Dict[str, float] = {"finite": bool(np.isfinite(joints).all())}
+
+    # bone-length drift: late-window mean vs early-window mean
+    bl = _bone_lengths(root, joints)
+    early, late = bl[: T // 5].mean(), bl[-T // 5:].mean()
+    report["bone_len_mean"] = float(bl.mean())
+    report["bone_len_drift"] = float(abs(late - early) / max(early, 1e-6))
+
+    # foot skate: horizontal foot speed while the foot is within 5 cm of its
+    # own per-env minimum height (stance proxy)
+    la = SMPL_BONE_ORDER_NAMES.index("L_Ankle") - 1
+    ra = SMPL_BONE_ORDER_NAMES.index("R_Ankle") - 1
+    feet = joints[:, :, (la, ra)]                              # (T,N,2,3)
+    vel = np.linalg.norm(np.diff(feet[..., :2], axis=0), axis=-1)  # (T-1,N,2)
+    low = feet[1:, ..., 2] < (feet[..., 2].min(0, keepdims=True) + 0.05)[0]
+    denom = max(low.sum(), 1)
+    report["foot_skate"] = float((vel * low).sum() / denom * 30.0)  # m/s
+
+    # phase channel: smooth forward advance through [0, 2pi)
+    dph = np.diff(phase, axis=0)
+    dph = (dph + np.pi) % (2 * np.pi) - np.pi
+    report["phase_step_mean"] = float(dph.mean())
+    report["phase_smooth_frac"] = float((np.abs(dph) < 1.0).mean())
+
+    # root motion sanity
+    report["root_speed"] = float(
+        np.linalg.norm(np.diff(root[..., :2], axis=0), axis=-1).mean() * 30.0)
+    return report
+
+
+def report_for_trainer(trainer, num_steps: int = 300, num_envs: int = 8,
+                       seed: int = 0) -> Dict[str, float]:
+    """Random-walk report for a trained `MVAETrainer`: init conditions come
+    from the trainer's own dataset (the reference harness likewise seeds the
+    rollout from dataset frames, `motion_vae/test.py:16-45`)."""
+    spec = P.spec_from_trainer(trainer)
+    feat, _ = trainer.dataset.sample_batch(num_envs)
+    init_raw = np.asarray(feat)[:, 0] * trainer.dataset.std + \
+        trainer.dataset.avg
+    return random_walk_metrics(spec, init_raw.astype(np.float32),
+                               num_steps=num_steps, seed=seed)
