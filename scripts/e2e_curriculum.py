@@ -1,0 +1,129 @@
+"""End-to-end curriculum proof on (fixture) AMASS data — VERDICT r02 #10.
+
+Runs the reference's full README flow (README.md:61-100) at miniature scale
+through the real CLI, on an AMASS-format fixture instead of synthetic
+motions, and commits the resulting metrics as artifacts:
+
+  1. AMASS-layout npz sequences -> `data.amass.convert_amass_dir` ->
+     MotionLib on disk              (reference `uhc/utils/convert_amass_isaac.py`)
+  2. `--cfg amass_im --motion_file <lib>` low-level imitation training
+  3. `--cfg mvae_federer --pre_run` MVAE smoke train + rollout metrics
+  4. `--cfg federer_train_stage_1` high-level training, auto-discovering and
+     embedding the frozen low-level checkpoint
+  5. `--cfg federer_train_stage_1 --test --render` eval stats + HTML rollout
+
+Usage:  python scripts/e2e_curriculum.py [OUT_DIR]   (default artifacts/e2e)
+Pins JAX to CPU (runs anywhere); ~20-40 min on the 2-core CPU mesh.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + \
+    " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 "/tmp/jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import numpy as np  # noqa: E402
+
+
+def write_amass_fixture(d, n_files=3, T=180, fps=60.0, seed=0):
+    """AMASS npz layout (SMPLH): poses (T,156), trans (T,3), betas (16),
+    gender, mocap_framerate — smooth sinusoidal joint motion."""
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    for i in range(n_files):
+        t = np.linspace(0, T / fps, T)[:, None]
+        freq = rng.uniform(0.5, 1.5, (1, 156))
+        amp = rng.uniform(0.05, 0.25, (1, 156))
+        poses = (amp * np.sin(2 * np.pi * freq * t + rng.uniform(
+            0, 2 * np.pi, (1, 156)))).astype(np.float64)
+        poses[:, :3] = 0.0
+        trans = np.stack([0.3 * np.sin(t[:, 0]), 0.3 * t[:, 0],
+                          np.zeros(T)], -1)
+        np.savez(os.path.join(d, f"seq_{i}.npz"), poses=poses, trans=trans,
+                 betas=rng.uniform(-0.5, 0.5, 16), gender="neutral",
+                 mocap_framerate=np.float64(fps))
+
+
+def main():
+    out = sys.argv[1] if len(sys.argv) > 1 else "artifacts/e2e"
+    os.makedirs(out, exist_ok=True)
+    report = {}
+
+    # 1. AMASS fixture -> MotionLib
+    from vid2player3d_tpu.core import smpl as S
+    from vid2player3d_tpu.data.amass import convert_amass_dir
+
+    amass_dir = os.path.join(out, "amass_fixture")
+    write_amass_fixture(amass_dir)
+    lib = convert_amass_dir(amass_dir, smpl_model=S.make_synthetic_smpl(),
+                            target_fps=30.0)
+    lib_path = os.path.join(out, "motion_lib.npz")
+    lib.save(lib_path)
+    report["motion_lib"] = {
+        "num_motions": int(lib.num_motions),
+        "total_frames": int(np.asarray(lib.gts).shape[0]),
+    }
+    print("[1/5] MotionLib:", report["motion_lib"], flush=True)
+
+    from vid2player3d_tpu.cli.run import main as cli
+
+    # 2. low-level imitation on the converted real-format data
+    im_out = os.path.join(out, "federer_im")
+    rc = cli(["--cfg", "federer_im", "--motion_file", lib_path,
+              "--num_envs", "16", "--horizon", "8", "--minibatch_size", "32",
+              "--lr", "1e-4", "--lr_schedule", "constant",
+              "--epochs", "30", "--seed", "1", "--out", im_out])
+    assert rc == 0
+    rows = [json.loads(l) for l in open(os.path.join(im_out, "metrics.jsonl"))]
+    report["imitation"] = {"epochs": len(rows),
+                           "reward_first": round(rows[0]["reward_mean"], 4),
+                           "reward_last": round(rows[-1]["reward_mean"], 4),
+                           "alive_last": round(rows[-1]["alive_ratio"], 4)}
+    print("[2/5] imitation:", report["imitation"], flush=True)
+
+    # 3. MVAE pre-run smoke (trains 5 epochs + random-walk rollout metrics)
+    mvae_out = os.path.join(out)
+    rc = cli(["--cfg", "mvae_federer", "--pre_run", "--seed", "1",
+              "--out", mvae_out])
+    assert rc == 0
+    report["mvae"] = "pre_run ok (see stdout metrics)"
+    print("[3/5] mvae pre_run done", flush=True)
+
+    # 4. high-level stage 1, embedding the frozen low-level policy
+    rc = cli(["--cfg", "federer_train_stage_1", "--num_envs", "16",
+              "--horizon", "8", "--minibatch_size", "32", "--epochs", "5",
+              "--seed", "1", "--pi_low_checkpoint",
+              os.path.join(im_out, "best.npz"), "--out", out])
+    assert rc == 0
+    rows = [json.loads(l) for l in open(os.path.join(out, "metrics.jsonl"))]
+    report["tennis_stage1"] = {"epochs": len(rows),
+                               "reward_last": round(rows[-1]["reward_mean"], 5)}
+    print("[4/5] tennis stage 1:", report["tennis_stage1"], flush=True)
+
+    # 5. eval + rendered rollout
+    html = os.path.join(out, "rollout.html")
+    rc = cli(["--cfg", "federer_train_stage_1", "--num_envs", "8", "--test",
+              "--epochs", "1", "--seed", "1", "--pi_low_checkpoint",
+              os.path.join(im_out, "best.npz"), "--out", out,
+              "--render", html])
+    assert rc == 0
+    report["render"] = os.path.basename(html)
+    with open(os.path.join(out, "e2e_report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    print("[5/5] wrote", os.path.join(out, "e2e_report.json"), flush=True)
+
+
+if __name__ == "__main__":
+    main()

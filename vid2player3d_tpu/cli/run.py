@@ -335,6 +335,9 @@ def main(argv: Optional[list] = None) -> int:
         opt = MVAEOption.load(run_cfg.mvae_version)
         if args.seed is not None:
             opt.seed = args.seed
+        if args.pre_run:
+            # smoke scale: 5 epochs over 1000 seqs (`train.py:31-36`)
+            opt.nseqs = min(opt.nseqs, 1000)
         # checkpoints land at <out>/mvae_<player>/latest.npz — the location
         # `_load_mvae_spec` searches when building tennis configs
         opt.checkpoint_dir = args.out
