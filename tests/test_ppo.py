@@ -63,3 +63,27 @@ def test_reward_improves(agent):
     assert np.mean(c_loss[-5:]) < 0.5 * np.mean(c_loss[:5]), f"c_loss: {c_loss}"
     assert np.mean(alive[-5:]) > np.mean(alive[:5]) - 0.05, f"alive: {alive}"
     assert np.mean(rewards[-5:]) > np.mean(rewards[:5]) - 0.02, f"rew: {rewards}"
+
+
+def test_lowmem_adam_matches_optax():
+    """learn/optim.scale_by_adam_lowmem: exact vs optax at f32 state dtype;
+    sub-percent step error with bf16 moments (the TPU update-scan path)."""
+    import optax
+
+    from vid2player3d_tpu.learn.optim import scale_by_adam_lowmem
+
+    params = {"w": jnp.linspace(-1, 1, 64), "b": jnp.ones(8)}
+    g = {"w": jnp.sin(jnp.arange(64.0)) * 0.1, "b": jnp.full(8, -0.05)}
+    ref = optax.scale_by_adam(eps=1e-8)
+    exact = scale_by_adam_lowmem(eps=1e-8, state_dtype=jnp.float32)
+    low = scale_by_adam_lowmem(eps=1e-8)
+    s1, s2, s3 = ref.init(params), exact.init(params), low.init(params)
+    for _ in range(5):
+        u1, s1 = ref.update(g, s1)
+        u2, s2 = exact.update(g, s2)
+        u3, s3 = low.update(g, s3)
+    for k in u1:
+        np.testing.assert_allclose(np.asarray(u1[k]), np.asarray(u2[k]),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(u1[k]), np.asarray(u3[k]),
+                                   rtol=0.02, atol=1e-6)

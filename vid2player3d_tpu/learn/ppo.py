@@ -106,6 +106,15 @@ def resolve_compute_dtype(name: str):
     return {"f32": jnp.float32, "bf16": jnp.bfloat16}[name]
 
 
+def _make_adam(compute_dtype: str) -> optax.GradientTransformation:
+    """f32 Adam on CPU; bf16-moment Adam on accelerators (learn/optim.py)."""
+    if resolve_compute_dtype(compute_dtype) == jnp.bfloat16:
+        from .optim import scale_by_adam_lowmem
+
+        return scale_by_adam_lowmem(eps=1e-8)
+    return optax.scale_by_adam(eps=1e-8)
+
+
 def diag_gaussian_neglogp(actions, mu, sigma):
     d = actions.shape[-1]
     return (0.5 * jnp.sum(((actions - mu) / sigma) ** 2, axis=-1)
@@ -152,14 +161,13 @@ class ImitationPPO:
             ctx_params = self.ctx_net.init(
                 jax.random.fold_in(key, 1), jnp.zeros((1, 24 * 3 + 24)))
             params = {"ac": params, "ctx": ctx_params}
-        # lr applied manually in the minibatch step so the adaptive schedule can
-        # ride through lax.scan as a carried scalar; Adam first moment in
-        # bf16 on TPU — the update scan is HBM-bound on optimizer-state
-        # traffic at reference minibatch 512
-        mu_dtype = resolve_compute_dtype(cfg.compute_dtype)
+        # lr applied manually in the minibatch step so the adaptive schedule
+        # can ride through lax.scan as a carried scalar; on TPU both Adam
+        # moments store in bf16 — the update scan is HBM-bound on
+        # optimizer-state traffic at reference minibatch 512
         self.tx = optax.chain(
             optax.clip_by_global_norm(cfg.grad_norm),
-            optax.scale_by_adam(eps=1e-8, mu_dtype=mu_dtype),
+            _make_adam(cfg.compute_dtype),
         )
         self._init = TrainState(
             params=params,

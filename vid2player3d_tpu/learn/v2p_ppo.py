@@ -102,10 +102,10 @@ class V2PPPO:
             self._init_params = self.net.init(key,
                                               jnp.zeros((1, self.obs_dim)))
         self._lane = jnp.arange(env.cfg.num_envs) % self.num_policies
-        self.tx = optax.chain(
-            optax.clip_by_global_norm(cfg.grad_norm),
-            optax.scale_by_adam(
-                eps=1e-8, mu_dtype=resolve_compute_dtype(cfg.compute_dtype)))
+        from .ppo import _make_adam
+
+        self.tx = optax.chain(optax.clip_by_global_norm(cfg.grad_norm),
+                              _make_adam(cfg.compute_dtype))
         self.sigma = jnp.full((self.num_actions,), np.exp(cfg.sigma_init),
                               jnp.float32)
         self._key0 = key

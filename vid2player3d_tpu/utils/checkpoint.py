@@ -27,7 +27,12 @@ def _flatten(tree: Any) -> Dict[str, np.ndarray]:
         key = "/".join(
             str(getattr(p, "key", getattr(p, "idx", getattr(p, "name", p))))
             for p in path)
-        flat[key] = np.asarray(leaf)
+        arr = np.asarray(leaf)
+        if str(arr.dtype) == "bfloat16":
+            # npz stores bf16 as raw void bytes that cannot round-trip;
+            # save f32, the loader casts back to the template leaf's dtype
+            arr = arr.astype(np.float32)
+        flat[key] = arr
     return flat
 
 
