@@ -93,3 +93,31 @@ def test_done_envs_auto_reset(env):
     state, out = step(state, jnp.zeros((4, env.num_actions)))
     # progress restarted for everyone (masked in-step reset)
     assert np.all(np.asarray(state.progress) == 1)
+
+
+def test_candidate_pool_reset_matches_semantics(env):
+    """Amortized K-candidate reset: done envs receive a VALID fresh state
+    (reaction role, ball from the pool, zeroed progress); non-done envs are
+    untouched bit-for-bit."""
+    import copy
+    import dataclasses as dc
+
+    env_k = copy.copy(env)
+    env_k.cfg = dc.replace(env.cfg, reset_candidates=2)
+    state, _ = env.reset_all(jax.random.PRNGKey(11))
+    state = dc.replace(
+        state,
+        reset_buf=jnp.array([1, 0, 1, 0], jnp.int32),
+        progress=jnp.full(4, 33, jnp.int32))
+    out = env_k._masked_env_reset(state, jax.random.PRNGKey(12))
+    prog = np.asarray(out.progress)
+    assert prog[0] == 0 and prog[2] == 0        # reset envs
+    assert prog[1] == 33 and prog[3] == 33      # untouched envs
+    np.testing.assert_array_equal(np.asarray(out.ball_pos[1]),
+                                  np.asarray(state.ball_pos[1]))
+    assert int(out.tar_action[0]) == 1          # fresh reaction role
+    assert np.isfinite(np.asarray(out.ball_traj[0])).all()
+    assert np.asarray(out.reset_buf)[[0, 2]].sum() == 0
+    # distinct candidates land on distinct done envs
+    assert not np.allclose(np.asarray(out.ball_pos[0]),
+                           np.asarray(out.ball_pos[2]))

@@ -141,7 +141,10 @@ _register(_im(
 _STAGE1_ENV = TennisConfig(
     num_envs=10240, substeps=2, max_episode_length=600,
     reward_type="reach", use_random_ball_target="discrete",
-    reset_reaction_nframes=70)
+    reset_reaction_nframes=70,
+    # amortized in-step resets: 256 candidate states scattered onto done
+    # envs (~17 envs finish per step at this scale)
+    reset_candidates=256)
 
 _register(_tennis(
     "federer_train_stage_1",
@@ -234,7 +237,8 @@ for _pair in (("federer", "djokovic"), ("nadal", "federer")):
         f"Dual-player rally: {_pair[0]} (near) vs {_pair[1]} (far) "
         f"({_pair[0]}_{_pair[1]}.yaml)",
         dataclasses.replace(CONFIGS["federer_train_stage_3"].env_tennis,
-                            num_envs=15360),
+                            num_envs=15360,
+                            reset_candidates=0),  # lane-paired serves
         CONFIGS["federer_train_stage_3"].v2p,
         player=_pair[0], dual=True,
     ))

@@ -117,6 +117,16 @@ class TennisConfig:
     # "ball_*" fields perturb the BallParams constants, obs/action noise is
     # per step. None = off.
     rand_specs: Optional[Tuple["domain_rand.RandSpec", ...]] = None
+    # fixed-shape reset amortization: the masked in-step reset recomputes a
+    # FULL fresh reset (MVAE init, FK snap, pool sampling) for all N envs
+    # every step and masks it — measured at up to ~43% of the fused step.
+    # With reset_candidates=K>0, only K candidate resets are computed and
+    # scattered onto done envs (at 300-frame episodes ~N/300 envs finish per
+    # step, so K=256 covers 4096 envs with huge margin; overflow envs reuse
+    # a candidate — they are random draws anyway). Requires homogeneous
+    # per-env bodies (all tennis configs use one player per env block).
+    # 0 = exact full recompute (dual mode: lane-paired serves need it).
+    reset_candidates: int = 0
 
     @property
     def num_actions(self) -> int:
@@ -522,18 +532,53 @@ class TennisEnv:
 
     def _masked_env_reset(self, state: TennisState, key) -> TennisState:
         """where-reset of envs whose reset_buf latched last step — the
-        fixed-shape equivalent of `_reset_envs(env_ids)` (:173-202)."""
+        fixed-shape equivalent of `_reset_envs(env_ids)` (:173-202).
+
+        With `cfg.reset_candidates=K`, only K fresh states are computed and
+        gathered onto done envs (slot = running count of done envs, clipped)
+        — same semantics, ~K/N of the reset cost."""
         N = self.cfg.num_envs
         done = state.reset_buf == 1
-        fresh, _ = self.reset_all(key)
+        K = self.cfg.reset_candidates
+        if K <= 0 or K >= N:
+            fresh, _ = self.reset_all(key)
 
-        def pick(a, b):
-            if a.ndim == 0 or a.shape[0] != N:   # non-per-env leaf (rng key)
+            def pick(a, b):
+                if a.ndim == 0 or a.shape[0] != N:  # non-per-env leaf (key)
+                    return b
+                d = done.reshape((N,) + (1,) * (a.ndim - 1))
+                return jnp.where(d, a, b)
+
+            return jax.tree_util.tree_map(pick, fresh, state)
+
+        env_k = self._sliced_env(K)
+        fresh, _ = env_k.reset_all(key)
+        slot = jnp.clip(jnp.cumsum(done) - 1, 0, K - 1)
+
+        def pick_k(a, b):
+            if a.ndim == 0 or a.shape[0] != K:
                 return b
             d = done.reshape((N,) + (1,) * (a.ndim - 1))
-            return jnp.where(d, a, b)
+            return jnp.where(d, a[slot], b)
 
-        return jax.tree_util.tree_map(pick, fresh, state)
+        upd = {}
+        for f in dataclasses.fields(TennisState):
+            a, b = getattr(fresh, f.name), getattr(state, f.name)
+            # the rng key is the one non-per-env field; keep the carried one
+            upd[f.name] = b if f.name == "key" else \
+                jax.tree_util.tree_map(pick_k, a, b)
+        return TennisState(**upd)
+
+    def _sliced_env(self, K: int) -> "TennisEnv":
+        """View of this env with num_envs=K (per-env arrays row-sliced) for
+        candidate-pool resets. Assumes homogeneous bodies across envs."""
+        import copy
+
+        env = copy.copy(self)
+        env.cfg = dataclasses.replace(self.cfg, num_envs=K)
+        env.model = jax.tree_util.tree_map(lambda a: a[:K], self.model)
+        env.motion_bodies = self.motion_bodies[:K]
+        return env
 
     # -- racket ---------------------------------------------------------------
 

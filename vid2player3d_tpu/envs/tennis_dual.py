@@ -44,6 +44,10 @@ class DualTennisEnv(TennisEnv):
         super().__init__(*args, **kw)
         N = self.cfg.num_envs
         assert N % 2 == 0, "dual mode pairs envs: num_envs must be even"
+        # rally serves are lane-paired (`_post_reset` mirrors each serve into
+        # its partner lane) — the candidate-pool reset breaks pairing
+        assert self.cfg.reset_candidates == 0, \
+            "dual mode requires reset_candidates=0 (lane-paired serves)"
         self._swap = jnp.arange(N) ^ 1
         self._lane = jnp.arange(N) % 2
 

@@ -326,22 +326,26 @@ def _state_to_launch(ball_states):
     return pos, vel, vspin * sign
 
 
-@functools.partial(jax.jit, static_argnames=("num_frames",))
-def estimate_out(ball_states, num_frames: int = 120,
+@functools.partial(jax.jit, static_argnames=("num_frames", "substeps"))
+def estimate_out(ball_states, num_frames: int = 120, substeps: int = 1,
                  p: BallParams = DEFAULT_PARAMS):
     """Outgoing-bounce estimate from post-racket-contact ball states (N,13).
 
     Reference (`tennis_ball_out_estimator.py:124-205`) gathers pre-simulated
-    grids at 0.1 m/s resolution; here we simulate the exact flight. Returns
-    (valid, bounce_pos (N,2), bounce_time (N,), max_height (N,)) with bounce
-    zeroed when the ball doesn't clear the net — same validity gates."""
+    grids at 0.1 m/s resolution; here we simulate the flight directly.
+    Default substeps=1 (30 Hz Euler): this runs INSIDE the fused env step
+    every frame, and a coarse direct integration is still far finer than the
+    reference's 0.1 m/s-quantized lookup grid. Returns (valid, bounce_pos
+    (N,2), bounce_time (N,), max_height (N,)) with bounce zeroed when the
+    ball doesn't clear the net — same validity gates."""
     pos, vel, vspin = _state_to_launch(ball_states)
     vel_xy = jnp.linalg.norm(vel[..., :2], axis=-1)
     x_net = pos[..., 0] + vel[..., 0] * jnp.abs(
         pos[..., 1] / (vel[..., 1] + 1e-8))
     valid = ((vel_xy > 10.0) & (vel[..., 2] > -5.0) & (vel[..., 2] < 10.0)
              & (pos[..., 2] < 3.0) & (x_net > -4.0) & (x_net < 4.0))
-    res = simulate_flight(pos, vel, vspin, num_frames=num_frames, p=p)
+    res = simulate_flight(pos, vel, vspin, num_frames=num_frames,
+                          substeps=substeps, p=p)
     ok = res.pass_net & res.has_bounce
     bounce_pos = jnp.where(ok[..., None], res.bounce_pos[..., :2], 0.0)
     bounce_time = jnp.where(ok, res.bounce_time, 0.0)
