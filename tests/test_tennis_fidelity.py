@@ -326,3 +326,30 @@ def test_racket_constants_produce_plausible_returns():
     # the median return comes down around the opponent's baseline (~12 m)
     med = np.median(by[passed & bounced])
     assert 6.0 < med < 15.0, med
+
+
+def test_racket_mass_welded_into_wrist():
+    """The reference racket is two geoms welded to the wrist (no joint,
+    `smpl_mesh_humanoid_federer.xml:188-191`, ~0.59 kg); folding that
+    mass/inertia into the wrist body is the exact rigid-body reduction."""
+    env = _env()                                    # simulated_racket_mass on
+    env_off = _env(simulated_racket_mass=False)
+    w = env.wrist_id
+    dm = np.asarray(env.model.body_mass[:, w]
+                    - env_off.model.body_mass[:, w])
+    np.testing.assert_allclose(dm, 0.591, atol=1e-3)
+    # only the wrist body changed
+    other = [j for j in range(24) if j != w]
+    np.testing.assert_array_equal(
+        np.asarray(env.model.body_mass[:, other]),
+        np.asarray(env_off.model.body_mass[:, other]))
+    # inertia grew and stays symmetric positive definite
+    I = np.asarray(env.model.body_inertia[:, w], np.float64)
+    np.testing.assert_allclose(I, np.swapaxes(I, -1, -2), atol=1e-9)
+    assert (np.linalg.eigvalsh(I) > 0).all()
+    assert (np.trace(I[0]) > np.trace(
+        np.asarray(env_off.model.body_inertia[0, w], np.float64)))
+    # COM moved toward the racket (along the grip direction)
+    dcom = np.asarray(env.model.body_com[0, w]
+                      - env_off.model.body_com[0, w])
+    assert float(dcom @ np.asarray(env.racket_dir_c)) > 0.05

@@ -111,6 +111,13 @@ class TennisConfig:
     # racket-ball contact model (TPU equivalent of PhysX shape contact)
     racket_restitution: float = 0.9
     spin_gain: float = 0.15     # rev/s per m/s tangential racket speed
+    # the reference's racket is two geoms WELDED to the wrist (no joint,
+    # `smpl_mesh_humanoid_federer.xml:188-191`: 0.35 m handle cylinder
+    # density 500 + 0.15 m head disc density 150 ≈ 0.59 kg at up to 0.5 m
+    # lever). A fixed joint is dynamically identical to folding that
+    # mass/inertia into the wrist body — so swings carry real racket
+    # inertia without adding bodies to the articulation.
+    simulated_racket_mass: bool = True
     ball_traj_pool_len: int = 100
     # domain randomization (`base_task.py:250-445`, lifted to the tennis task
     # like every reference task inherits it); model fields perturb per epoch,
@@ -237,11 +244,62 @@ class TennisEnv:
         (self.racket_dir_c, self.racket_normal_c, self.racket_reach,
          self.racket_head_radius) = grip_arrays(
             "eastern" if spec.righthand else "lefthand_semi_western")
+        if cfg.simulated_racket_mass:
+            self.model = self._weld_racket_mass(self.model)
         self.obs_dim = (3 + 3 + 24 * 3 + 24 * 6 + 3
                         + 3 * cfg.obs_ball_traj_length + 2)
         self.num_actions = cfg.num_actions
         self._rw = dict(cfg.reward_weights)
         self._rs = dict(cfg.reward_scales)
+
+    def _weld_racket_mass(self, model: ArticulationModel) -> ArticulationModel:
+        """Fold the racket's mass/inertia into the racket-hand wrist body —
+        the exact rigid-body reduction of the reference's jointless racket
+        geoms (`smpl_mesh_humanoid_federer.xml:188-191`): handle = 0.35 m
+        cylinder r=0.016 density 500 (0.141 kg), head = 0.0425 m-thick disc
+        r=0.15 density 150 (0.450 kg), both along the grip direction."""
+        import numpy as np_
+
+        d = np_.asarray(self.racket_dir_c, np_.float64)
+        m_h, m_d = 0.141, 0.450
+        c_h = d * 0.175                       # handle center of mass
+        c_d = d * float(self.racket_reach)    # head center
+        w = self.wrist_id
+        N = model.body_mass.shape[0]
+
+        mass = np_.asarray(model.body_mass).copy()
+        com = np_.asarray(model.body_com).copy()
+        inertia = np_.asarray(model.body_inertia).copy()
+
+        m0 = mass[:, w]
+        new_m = m0 + m_h + m_d
+        new_com = (com[:, w] * m0[:, None] + m_h * c_h + m_d * c_d) \
+            / new_m[:, None]
+
+        def about_new_com(I_own, m, c):
+            """Parallel-axis shift of a part (own inertia about its center
+            c) to the combined center of mass."""
+            r = np_.broadcast_to(c, (N, 3)) - new_com
+            r2 = (r ** 2).sum(-1)
+            shift = (m * (r2[:, None, None] * np_.eye(3)
+                          - np_.einsum("ni,nj->nij", r, r)))
+            return I_own + shift
+
+        # own inertias about each geom's center (isotropic approximations:
+        # rod l=0.35, disc r=0.15)
+        I_h = np_.eye(3) * (m_h * 0.35 ** 2 / 12.0)
+        I_d = np_.eye(3) * (0.5 * m_d * 0.15 ** 2)
+        I_new = (about_new_com(inertia[:, w].astype(np_.float64), m0[:, None,
+                                                                     None],
+                               com[:, w])
+                 + about_new_com(I_h, m_h, c_h)
+                 + about_new_com(I_d, m_d, c_d))
+        inertia[:, w] = I_new.astype(inertia.dtype)
+        mass[:, w] = new_m
+        com[:, w] = new_com
+        return dataclasses.replace(
+            model, body_mass=jnp.asarray(mass), body_com=jnp.asarray(com),
+            body_inertia=jnp.asarray(inertia))
 
     @property
     def rest_joint_offsets(self):
