@@ -102,3 +102,34 @@ def test_public_wrapper_runs_and_differentiates(inputs):
     assert np.isfinite(float(val))
     for g in grads:
         assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_fk_chain_pallas_matches_plain():
+    """ops/fk.py fused FK kernel (interpret mode on CPU) reproduces the
+    plain SoA chain bit-near-exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vid2player3d_tpu.core import smpl as S
+    from vid2player3d_tpu.ops import fk as FK
+
+    N = 512
+    key = jax.random.PRNGKey(0)
+    rm = jnp.tile(jnp.eye(3), (N, 24, 1, 1)) \
+        + 0.05 * jax.random.normal(key, (N, 24, 3, 3))
+    off = jax.random.normal(jax.random.fold_in(key, 1), (N, 24, 3)) * 0.1
+    rp = jax.random.normal(jax.random.fold_in(key, 2), (N, 3))
+    parents = tuple(int(p) for p in S.SMPL_PARENTS)
+
+    p_pos, p_rm = FK._fk_plain(rm, off, rp, parents)
+    rt = jnp.transpose(rm, (1, 2, 3, 0))
+    ot = jnp.transpose(off, (1, 2, 0))
+    rpT = jnp.transpose(rp, (1, 0))
+    k_pos_t, k_rm_t = FK._fk_pallas(rt, ot, rpT, parents=parents, J=24,
+                                    block=256, interpret=True)
+    k_pos = jnp.transpose(k_pos_t, (2, 0, 1))
+    k_rm = jnp.transpose(k_rm_t, (3, 0, 1, 2))
+    np.testing.assert_allclose(np.asarray(k_pos), np.asarray(p_pos),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(k_rm), np.asarray(p_rm), atol=2e-5)

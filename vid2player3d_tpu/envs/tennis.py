@@ -424,19 +424,17 @@ class TennisEnv:
         dof_tar = R.rotmat_to_angle_axis(
             rot_mj[:, 1:].reshape(-1, 3, 3)).reshape(
                 mvae.joint_rotmat.shape[0], 69)
-        # FK for target body positions/orientations in world
-        parents = self.model.parents
-        off = self.rest_joint_offsets
+        # FK for target body positions/orientations in world. One fused
+        # Pallas kernel on TPU: as stock ops the 23-step parent chain lowers
+        # to hundreds of tiny sequential VPU launches and alone cost ~30% of
+        # the fused tennis step (ops/fk.py).
+        from ..ops.fk import fk_chain
+
         root_pos = mvae.root_pos if res_root is None \
             else mvae.root_pos + res_root
-        gR = [rot_mj[:, 0]]
-        gp = [root_pos]
-        for j in range(1, 24):
-            p = parents[j]
-            gp.append(gp[p] + jnp.einsum("nij,nj->ni", gR[p], off[:, j]))
-            gR.append(gR[p] @ rot_mj[:, j])
-        body_pos = jnp.stack(gp, axis=1)
-        body_rot = Q.rotmat_to_quat(jnp.stack(gR, axis=1))
+        body_pos, body_rotmat = fk_chain(rot_mj, self.rest_joint_offsets,
+                                         root_pos, self.model.parents)
+        body_rot = Q.rotmat_to_quat(body_rotmat)
         return dof_tar, body_pos, body_rot
 
     # -- reset helpers ---------------------------------------------------------
