@@ -33,24 +33,30 @@ import sys
 ICI_BYTES_PER_S = 45e9          # per-link ICI bandwidth, v5e-class
 
 
-def _measured_single_chip() -> float:
-    """Latest single-chip rollout throughput: read the newest BENCH_r*.json
-    so the roofline never goes stale against bench.py (VERDICT r02 weak #4)."""
+def _measured_single_chip():
+    """Latest single-chip measurements: read the newest BENCH_r*.json so the
+    roofline never goes stale against bench.py (VERDICT r02 weak #4).
+    Returns (rollout_steps_per_s, t_update_s or None)."""
     import glob
     vals = []
     for f in sorted(glob.glob("BENCH_r*.json")):
         try:
             with open(f) as fh:
                 d = json.load(fh)
-            v = d.get("parsed", d).get("value")
-            if v:
-                vals.append(float(v))
+            p = d.get("parsed", d)
+            if p.get("value"):
+                vals.append((float(p["value"]), p.get("t_update_s")))
         except (json.JSONDecodeError, AttributeError, OSError):
             continue
-    return vals[-1] if vals else 2.09e6    # BENCH_r02 measured fallback
+    # fallbacks: round-3 measured values (bf16 trunks + bf16-moment Adam);
+    # older BENCH files predate the t_update_s field
+    if not vals:
+        return 2.09e6, 0.3847
+    v, tu = vals[-1]
+    return v, (tu if tu else 0.3847)
 
 
-SINGLE_CHIP_STEPS_PER_S = _measured_single_chip()
+SINGLE_CHIP_STEPS_PER_S, MEASURED_T_UPDATE_S = _measured_single_chip()
 
 
 def run_semantics_and_census(n_dev: int = 8) -> dict:
@@ -124,9 +130,14 @@ def roofline(n_chips: int, num_envs_per_chip: int = 4096, horizon: int = 32,
     env_steps = num_envs_per_chip * horizon          # per chip per epoch
     t_rollout = env_steps / SINGLE_CHIP_STEPS_PER_S
     n_mb = (num_envs_per_chip * horizon // minibatch_per_chip) * mini_epochs
-    # update compute: each chip works on its local minibatch shard
-    flops_update = n_mb * minibatch_per_chip * grad_bytes / 4 * 6
-    t_update = flops_update / 40e12                  # ~40 TFLOP/s f32 v5e
+    if MEASURED_T_UPDATE_S and minibatch_per_chip == 512 \
+            and num_envs_per_chip == 4096:
+        # bench.py's measured update phase at exactly this configuration
+        t_update = float(MEASURED_T_UPDATE_S)
+    else:
+        # update compute model: each chip works on its local minibatch shard
+        flops_update = n_mb * minibatch_per_chip * grad_bytes / 4 * 6
+        t_update = flops_update / 40e12              # ~40 TFLOP/s f32 v5e
     if n_chips == 1:
         t_comm = 0.0
     else:

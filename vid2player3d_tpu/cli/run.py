@@ -55,6 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--select_best", action="store_true",
                    help="with --render: rank envs by behavioral stats and "
                         "record the best (mvae_controller_vis.py:149-156)")
+    p.add_argument("--mvae_batches", type=int, default=None,
+                   help="mvae configs: batches per epoch (default "
+                        "nseqs/batch_size)")
     p.add_argument("--pre_run", action="store_true",
                    help="mvae configs: 5-epoch smoke train + random-walk "
                         "rollout metrics (reference motion_vae/train.py:31-36)")
@@ -356,7 +359,7 @@ def main(argv: Optional[list] = None) -> int:
             epochs = 5
         logger = MetricsLogger(args.out, epochs)
         for e in range(1, epochs + 1):
-            m = trainer.train_epoch()
+            m = trainer.train_epoch(batches_per_epoch=args.mvae_batches)
             logger.log(e, m, 0)
             if e % args.save_every == 0 or e == epochs:
                 trainer.save_checkpoint("latest")
