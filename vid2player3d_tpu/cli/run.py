@@ -164,15 +164,18 @@ def _build_tennis(run_cfg, args):
 
     seed = args.seed or run_cfg.seed
     mvae_path = os.path.join(args.out, f"mvae_{run_cfg.player}")
-    spec = _load_mvae_spec(mvae_path, run_cfg.player, seed)
+    spec, feats = _load_mvae_spec(mvae_path, run_cfg.player, seed)
     if args.test:
         # test-time players gate policy residuals to fh/bh swing phases
         # (`mvae_player.py:301-419` is_train branch) — evaluation must run
         # the eval-mode spec, not the training-time residual semantics
         spec = dataclasses.replace(spec, is_train=False)
-    rng = np.random.default_rng(seed)
-    feats = (rng.standard_normal((64, P.FRAME_SIZE)) * 0.05).astype(np.float32)
-    feats[:, 2] = 0.95
+    if feats is None:
+        # no trained MVAE: synthetic init-condition frames
+        rng = np.random.default_rng(seed)
+        feats = (rng.standard_normal((64, P.FRAME_SIZE)) * 0.05
+                 ).astype(np.float32)
+        feats[:, 2] = 0.95
 
     # frozen low-level policy: the defining vid2player nesting — the trained
     # imitation policy physically tracks the MVAE kinematic targets
@@ -226,8 +229,12 @@ def _load_pi_low(run_cfg, args):
 
 def _load_mvae_spec(mvae_dir: str, player: str, seed: int):
     """Use a trained MVAE checkpoint when present, otherwise a random spec
-    (the reference demo likewise cannot ship trained MVAEs, README.md:13)."""
+    (the reference demo likewise cannot ship trained MVAEs, README.md:13).
+    Returns (spec, init_condition_frames-or-None); with a trained MVAE the
+    init conditions are RAW DATASET FRAMES like the reference
+    (`mvae_player.py:112-158` loads init conditions from the dataset)."""
     import jax
+    import numpy as np
 
     from vid2player3d_tpu.tennis import player as P
 
@@ -242,9 +249,12 @@ def _load_mvae_spec(mvae_dir: str, player: str, seed: int):
         ds = make_synthetic_pose_dataset(opt)
         tr = MVAETrainer(opt, ds)
         tr.load_checkpoint("latest")
-        return P.spec_from_trainer(tr, player=player)
+        feat_n, _ = ds.sample_batch(64)
+        feats = (np.asarray(feat_n)[:, 0] * ds.std + ds.avg
+                 ).astype(np.float32)
+        return P.spec_from_trainer(tr, player=player), feats
     print(f"NOTE: no trained MVAE at {meta}; using a random spec")
-    return P.make_random_spec(jax.random.PRNGKey(seed), player=player)
+    return P.make_random_spec(jax.random.PRNGKey(seed), player=player), None
 
 
 def _train_loop(agent, run_cfg, args, logger):
