@@ -221,6 +221,7 @@ def export_imitation_rollout(agent, path: str, num_steps: int = 90) -> str:
         ctx = env.init_context(env_state.motion_times)
     rec = {k: np.concatenate([c[k] for c in chunks], 0)[:num_steps]
            for k in chunks[0]}
+    rec["body_radius"] = np.asarray(env.model.contact_radius[0, :24])
     np.savez_compressed(path, **rec)
     return path
 
@@ -265,6 +266,10 @@ def export_rollout(agent, path: str, num_steps: int = 150) -> str:
     state, obs = env.reset_all(jax.random.PRNGKey(7))
     _, rec = run(state, obs)
     rec = {k: np.asarray(v) for k, v in rec.items()}
+    # static viewer extras: per-body geom radii (volumetric limbs) and the
+    # racket-hand wrist (handle line)
+    rec["body_radius"] = np.asarray(env.model.contact_radius[0, :24])
+    rec["wrist_id"] = np.asarray(env.wrist_id)
 
     if env.cfg.two_hand_backhand:
         # post-hoc two-hand refinement of the recorded kinematics — the

@@ -4,8 +4,10 @@ Watchable output for exported rollouts (the deliverable the reference
 produces through vtk video / scenepic HTML export,
 `vid2player/env/tasks/mvae_controller_vis.py:97-242`): a single HTML file
 with the rollout data embedded as JSON and a small canvas player — court
-top-down view + side view, stick-figure skeleton, ball with trail, racket
-marker. No external assets or network access needed; open in any browser.
+top-down view + side view, volumetric body (per-body geom radii from the
+asset compiler drawn as width-varying limbs + joint discs), ball with trail,
+racket with head disc. No external assets or network access needed; open in
+any browser.
 
 Pairs with `eval.export_rollout` (npz data contract) and
 `eval.select_best` (env ranking, `mvae_controller_vis.py:149-156`).
@@ -48,6 +50,8 @@ _PAGE = """<!DOCTYPE html>
 <script>
 const D = {data};
 const PARENTS = {parents};
+const RADII = D.body_radius || null;
+const WRIST = D.wrist_id === undefined ? -1 : D.wrist_id;
 const HW = {half_width}, HL = {half_length}, NET = {net_height};
 const T = D.body.length, NENV = D.envs.length;
 let env = 0, t = 0, playing = true;
@@ -72,12 +76,19 @@ function drawCourt(ctx, W, H, proj) {{
   lines(ctx, c.map(p => proj(p[0], p[1], 0)));
   lines(ctx, [proj(-HW, 0, 0), proj(HW, 0, 0)]);       // net line
 }}
-function skel(ctx, J, proj, color) {{
-  ctx.strokeStyle = color; ctx.lineWidth = 2;
+function skel(ctx, J, proj, color, pxPerM) {{
+  ctx.strokeStyle = color; ctx.lineCap = 'round';
   for (let j = 1; j < J.length; j++) {{
     const p = PARENTS[j]; if (p < 0) continue;
+    ctx.lineWidth = RADII ? Math.max(1.5, RADII[j] * pxPerM * 1.6) : 2;
     lines(ctx, [proj(J[j][0], J[j][1], J[j][2]),
                 proj(J[p][0], J[p][1], J[p][2])]);
+  }}
+  if (RADII) for (let j = 0; j < J.length; j++) {{
+    const q = proj(J[j][0], J[j][1], J[j][2]);
+    ctx.fillStyle = color + '55';
+    ctx.beginPath();
+    ctx.arc(q[0], q[1], Math.max(1, RADII[j] * pxPerM), 0, 7); ctx.fill();
   }}
 }}
 function draw() {{
@@ -93,7 +104,7 @@ function draw() {{
   const COLORS = ['#7fd4ff', '#ffc04d', '#b0ff9e', '#ff9ecf'];
   for (let si = 0; si < D.body[t][env].length; si++) {{
     const J = D.body[t][env][si];
-    skel(top, J, pt, COLORS[si % 4]); skel(sideC, J, ps, COLORS[si % 4]);
+    skel(top, J, pt, COLORS[si % 4], 22); skel(sideC, J, ps, COLORS[si % 4], 40);
   }}
   // ball + trail
   if (D.ball) for (let k = Math.max(0, t - 15); k <= t; k++) {{
@@ -107,10 +118,15 @@ function draw() {{
   }}
   if (D.racket) {{
     const r = D.racket[t][env];
-    for (const [ctx2, proj] of [[top, pt], [sideC, ps]]) {{
+    const J0 = D.body[t][env][0];
+    for (const [ctx2, proj, sc] of [[top, pt, 22], [sideC, ps, 40]]) {{
       ctx2.strokeStyle = '#ff8080'; ctx2.lineWidth = 2;
       const q = proj(r[0], r[1], r[2]);
-      ctx2.beginPath(); ctx2.arc(q[0], q[1], 5, 0, 7); ctx2.stroke();
+      if (WRIST >= 0) {{          // handle: wrist -> head center
+        const w = proj(J0[WRIST][0], J0[WRIST][1], J0[WRIST][2]);
+        lines(ctx2, [w, q]);
+      }}
+      ctx2.beginPath(); ctx2.arc(q[0], q[1], 0.15 * sc, 0, 7); ctx2.stroke();
     }}
   }}
   document.getElementById('frame').textContent = t + '/' + (T - 1);
@@ -131,7 +147,9 @@ def render_html(rollout, out_path: str,
       (T, N, 24, 3), optional ref_body_pos (ghost skeleton — e.g. the
       imitation reference target, drawn in a second color like the
       reference's side-by-side vis, `humanoid_smpl_im_vis.py:72-155`),
-      optional ball_pos (T, N, 3) / racket_pos (T, N, 3).
+      optional ball_pos (T, N, 3) / racket_pos (T, N, 3), optional
+      body_radius (24,) geom radii for volumetric limbs, optional
+      wrist_id (racket-hand wrist joint for the handle line).
     env_ids: which envs to embed (default: first 4; pass `select_best`
       output to record the best performers).
     dual: paired-lane rally mode — each even lane is drawn together with
@@ -166,6 +184,10 @@ def render_html(rollout, out_path: str,
                                   axis=2)
 
     data = {"envs": env_ids, "body": rnd(skel)}
+    if "body_radius" in rollout:
+        data["body_radius"] = rnd(np.asarray(rollout["body_radius"]))
+    if "wrist_id" in rollout:
+        data["wrist_id"] = int(np.asarray(rollout["wrist_id"]))
     if ball is not None:
         data["ball"] = rnd(np.asarray(ball)[:max_frames][:, env_ids])
     if racket is not None:
