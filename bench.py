@@ -20,9 +20,9 @@ import time
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+from vid2player3d_tpu.utils.runtime import enable_compile_cache
+
+enable_compile_cache()
 
 from vid2player3d_tpu.data.synthetic import make_synthetic_motion_lib
 from vid2player3d_tpu.envs import HumanoidImConfig, HumanoidImEnv
@@ -127,14 +127,28 @@ def main():
     t_epoch = (time.perf_counter() - t0) / ereps
     total_fps = NUM_ENVS * HORIZON / t_epoch
 
+    # the TRAINING rollout phase (policy + value forwards, neglogp,
+    # trajectory storage — heavier than the lean inference rollout above),
+    # so t_update = t_epoch - t_play_train attributes phases honestly
+    roll_fn = jax.jit(lambda ts_, arrs, k: agent._rollout(
+        env.with_arrays(arrs), ts_, k))
+    traj = roll_fn(ts, env.arrays(), jax.random.PRNGKey(0))
+    jax.block_until_ready(traj["reward"])
+    t0 = time.perf_counter()
+    for i in range(ereps):
+        traj = roll_fn(ts, env.arrays(), jax.random.PRNGKey(i))
+    jax.block_until_ready(traj["reward"])
+    t_play_train = (time.perf_counter() - t0) / ereps
+
     print(json.dumps({
         "metric": "humanoid_env_steps_per_s",
         "value": round(steps_per_s, 1),
         "unit": "env-steps/s/chip",
         "vs_baseline": round(steps_per_s / BASELINE_STEPS_PER_S, 4),
         "total_fps": round(total_fps, 1),
-        "t_play_s": round(t_play, 4),
-        "t_update_s": round(max(t_epoch - t_play, 0.0), 4),
+        "t_play_s": round(t_play_train, 4),
+        "t_play_inference_s": round(t_play, 4),
+        "t_update_s": round(max(t_epoch - t_play_train, 0.0), 4),
         "epoch_s": round(t_epoch, 4),
         "steps_per_s_8192envs": round(steps8, 1),
     }))

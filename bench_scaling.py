@@ -39,7 +39,8 @@ def _measured_single_chip():
     Returns (rollout_steps_per_s, t_update_s or None)."""
     import glob
     vals = []
-    for f in sorted(glob.glob("BENCH_r*.json")):
+    here = os.path.dirname(os.path.abspath(__file__))
+    for f in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
         try:
             with open(f) as fh:
                 d = json.load(fh)
@@ -53,7 +54,7 @@ def _measured_single_chip():
     if not vals:
         return 2.09e6, 0.3847
     v, tu = vals[-1]
-    return v, (tu if tu else 0.3847)
+    return v, (tu if tu is not None else 0.3847)
 
 
 SINGLE_CHIP_STEPS_PER_S, MEASURED_T_UPDATE_S = _measured_single_chip()
@@ -131,7 +132,7 @@ def roofline(n_chips: int, num_envs_per_chip: int = 4096, horizon: int = 32,
     t_rollout = env_steps / SINGLE_CHIP_STEPS_PER_S
     n_mb = (num_envs_per_chip * horizon // minibatch_per_chip) * mini_epochs
     if MEASURED_T_UPDATE_S and minibatch_per_chip == 512 \
-            and num_envs_per_chip == 4096:
+            and num_envs_per_chip == 4096 and mini_epochs == 6:
         # bench.py's measured update phase at exactly this configuration
         t_update = float(MEASURED_T_UPDATE_S)
     else:

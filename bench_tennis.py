@@ -20,9 +20,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+from vid2player3d_tpu.utils.runtime import enable_compile_cache
+
+enable_compile_cache()
 
 from vid2player3d_tpu.envs import TennisConfig, TennisEnv
 from vid2player3d_tpu.learn import FrozenImitator

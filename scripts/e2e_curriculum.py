@@ -26,11 +26,9 @@ os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + \
 
 import jax  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                 "/tmp/jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+from vid2player3d_tpu.utils.runtime import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
 jax.config.update("jax_default_device", jax.devices("cpu")[0])
 jax.config.update("jax_default_matmul_precision", "highest")
 
@@ -98,7 +96,11 @@ def main():
     rc = cli(["--cfg", "mvae_federer", "--pre_run", "--seed", "1",
               "--out", mvae_out])
     assert rc == 0
-    report["mvae"] = "pre_run ok (see stdout metrics)"
+    # the MVAE stage shares --out with stage 4; move its metrics aside so
+    # the tennis stage's metrics.jsonl starts clean
+    os.replace(os.path.join(out, "metrics.jsonl"),
+               os.path.join(out, "mvae_metrics.jsonl"))
+    report["mvae"] = "pre_run ok (see stdout metrics + mvae_metrics.jsonl)"
     print("[3/5] mvae pre_run done", flush=True)
 
     # 4. high-level stage 1, embedding the frozen low-level policy

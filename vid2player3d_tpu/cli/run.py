@@ -249,10 +249,7 @@ def _load_mvae_spec(mvae_dir: str, player: str, seed: int):
         ds = make_synthetic_pose_dataset(opt)
         tr = MVAETrainer(opt, ds)
         tr.load_checkpoint("latest")
-        feat_n, _ = ds.sample_batch(64)
-        feats = (np.asarray(feat_n)[:, 0] * ds.std + ds.avg
-                 ).astype(np.float32)
-        return P.spec_from_trainer(tr, player=player), feats
+        return P.spec_from_trainer(tr, player=player), ds.raw_init_frames(64)
     print(f"NOTE: no trained MVAE at {meta}; using a random spec")
     return P.make_random_spec(jax.random.PRNGKey(seed), player=player), None
 
@@ -325,15 +322,11 @@ def _eval_loop(agent, run_cfg, args):
 
 def main(argv: Optional[list] = None) -> int:
     args = build_parser().parse_args(argv)
-    import jax as _jax
-
     # persistent compilation cache: repeat CLI invocations (curriculum
     # stages, resumes) skip the multi-minute first compile
-    _jax.config.update("jax_compilation_cache_dir",
-                       os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                      "/tmp/jax_cache"))
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    from vid2player3d_tpu.utils.runtime import enable_compile_cache
+
+    enable_compile_cache()
     from vid2player3d_tpu.cli.configs import get_config
 
     run_cfg = get_config(args.cfg)
@@ -364,8 +357,9 @@ def main(argv: Optional[list] = None) -> int:
             print(json.dumps(report_for_trainer(trainer), indent=2))
             return 0
         epochs = args.epochs or (opt.n_epochs + opt.n_epochs_decay)
-        if args.pre_run:
-            # 5-epoch smoke + rollout metrics (`train.py:31-36 --pre_run`)
+        if args.pre_run and not args.epochs:
+            # 5-epoch smoke + rollout metrics (`train.py:31-36 --pre_run`);
+            # an explicit --epochs wins
             epochs = 5
         logger = MetricsLogger(args.out, epochs)
         for e in range(1, epochs + 1):

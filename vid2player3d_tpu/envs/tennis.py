@@ -600,12 +600,20 @@ class TennisEnv:
             fresh, _ = self.reset_all(key)
 
             def pick(a, b):
-                if a.ndim == 0 or a.shape[0] != N:  # non-per-env leaf (key)
+                if a.ndim == 0 or a.shape[0] != N:
                     return b
                 d = done.reshape((N,) + (1,) * (a.ndim - 1))
                 return jnp.where(d, a, b)
 
-            return jax.tree_util.tree_map(pick, fresh, state)
+            upd = {}
+            for f in dataclasses.fields(TennisState):
+                a, b = getattr(fresh, f.name), getattr(state, f.name)
+                # the rng key is the one non-per-env field; it must be kept
+                # by NAME (at num_envs=2 an old-style (2,)-shaped key would
+                # pass the per-env shape test and scatter element-wise)
+                upd[f.name] = b if f.name == "key" else \
+                    jax.tree_util.tree_map(pick, a, b)
+            return TennisState(**upd)
 
         env_k = self._sliced_env(K)
         fresh, _ = env_k.reset_all(key)

@@ -97,12 +97,9 @@ def resolve_compute_dtype(name: str):
     """"auto" -> bfloat16 on TPU, float32 on CPU/GPU (CPU bf16 is emulated
     and slow; tests run the CPU mesh in f32)."""
     if name == "auto":
-        # decide from the default DEVICE, not default_backend(): a session
-        # can pin jax_default_device to CPU while a TPU plugin (platform
-        # "axon" in this image) is still the highest-priority backend
-        dev = jax.config.jax_default_device
-        platform = dev.platform if dev is not None else jax.default_backend()
-        return jnp.float32 if platform == "cpu" else jnp.bfloat16
+        from ..utils.runtime import on_cpu
+
+        return jnp.float32 if on_cpu() else jnp.bfloat16
     return {"f32": jnp.float32, "bf16": jnp.bfloat16}[name]
 
 

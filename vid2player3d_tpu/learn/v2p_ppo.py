@@ -129,8 +129,11 @@ class V2PPPO:
             obs_norm=jax.tree_util.tree_map(jnp.copy, obs_norm),
             val_norm=jax.tree_util.tree_map(jnp.copy, val_norm),
             env_state=env_state, last_obs=obs, key=key,
-            epoch=jnp.zeros((), jnp.int32),
-            lr=jnp.asarray(self.cfg.learning_rate, jnp.float32))
+            epoch=jnp.copy(getattr(self, "_init_epoch",
+                                   jnp.zeros((), jnp.int32))),
+            lr=jnp.copy(getattr(self, "_init_lr",
+                                jnp.asarray(self.cfg.learning_rate,
+                                            jnp.float32))))
         if self.mesh is not None:
             from vid2player3d_tpu import parallel
 
@@ -159,13 +162,21 @@ class V2PPPO:
         like = {"params": self._init_params,
                 "obs_norm": RN.RunningNormState.create(self.obs_dim),
                 "val_norm": RN.RunningNormState.create(1),
-                "opt_state": self.tx.init(self._init_params)}
+                "opt_state": self.tx.init(self._init_params),
+                "epoch": jnp.zeros((), jnp.int32),
+                "lr": jnp.asarray(self.cfg.learning_rate, jnp.float32)}
         loaded = CK.load_pytree_with_surgery(
             path, like, fill_overrides={"var": 1.0})
         self._init_params = loaded["params"]
         self._init_obs_norm = loaded["obs_norm"]
         self._init_val_norm = loaded["val_norm"]
         self._init_opt_state = loaded["opt_state"]
+        # epoch drives the DR schedule; lr is controller state only under
+        # the adaptive schedule (constant-lr stages keep the new config's
+        # rate — the curriculum drops lr between stages)
+        self._init_epoch = loaded["epoch"]
+        if self.cfg.lr_schedule == "adaptive":
+            self._init_lr = loaded["lr"]
 
     def save_checkpoint(self, path: str, ts: V2PTrainState):
         """Persist policy + running normalizers + optimizer state (matching
@@ -173,7 +184,8 @@ class V2PPPO:
         resume — the reference likewise re-creates the sim on restart."""
         CK.save_pytree(path, {"params": ts.params, "obs_norm": ts.obs_norm,
                               "val_norm": ts.val_norm,
-                              "opt_state": ts.opt_state})
+                              "opt_state": ts.opt_state,
+                              "epoch": ts.epoch, "lr": ts.lr})
 
     # -- forward ---------------------------------------------------------------
 

@@ -161,6 +161,16 @@ class PoseSequenceDataset:
             feat = (feat - self.avg) / self.std
         return feat, self.phase_arr[idx]
 
+    def raw_init_frames(self, n: int) -> "np.ndarray":
+        """n RAW (unnormalized) dataset frames — init conditions for
+        autoregressive rollouts / tennis-env resets (the reference loads
+        init conditions from the dataset, `mvae_player.py:112-158`)."""
+        feat, _ = self.sample_batch(n)
+        raw = np.asarray(feat)[:, 0]
+        if self.avg is not None:
+            raw = raw * self.std + self.avg
+        return raw.astype(np.float32)
+
     def sample_first_frame(self):
         """One normalized condition window + its raw start frame index, for
         seeding autoregressive rollouts (reference `dataset.py:225-236`)."""

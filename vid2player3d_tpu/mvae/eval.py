@@ -106,8 +106,6 @@ def report_for_trainer(trainer, num_steps: int = 300, num_envs: int = 8,
     from the trainer's own dataset (the reference harness likewise seeds the
     rollout from dataset frames, `motion_vae/test.py:16-45`)."""
     spec = P.spec_from_trainer(trainer)
-    feat, _ = trainer.dataset.sample_batch(num_envs)
-    init_raw = np.asarray(feat)[:, 0] * trainer.dataset.std + \
-        trainer.dataset.avg
-    return random_walk_metrics(spec, init_raw.astype(np.float32),
-                               num_steps=num_steps, seed=seed)
+    init_raw = trainer.dataset.raw_init_frames(num_envs)
+    return random_walk_metrics(spec, init_raw, num_steps=num_steps,
+                               seed=seed)

@@ -30,9 +30,9 @@ import numpy as np
 
 
 def _on_cpu() -> bool:
-    dev = jax.config.jax_default_device
-    platform = dev.platform if dev is not None else jax.default_backend()
-    return platform == "cpu"
+    from ..utils.runtime import on_cpu
+
+    return on_cpu()
 
 
 def fk_chain(rot, off, root_pos, parents, block: int = 1024):
