@@ -89,3 +89,23 @@ def test_single_policy_checkpoint_tiles_into_dual(agent, tmp_path):
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(leaf[1]), np.asarray(single_leaf),
                                atol=1e-6)
+
+
+def test_resume_restores_epoch_and_optimizer(agent, tmp_path):
+    """Full-state resume: the DR schedule's epoch counter and the Adam
+    moments survive a save/load cycle (rl_games full-state resume; without
+    the epoch a resumed run re-anneals scheduled DR noise from zero)."""
+    import jax
+
+    ts = agent.init_state()
+    ts, _ = agent.train_epoch(ts)
+    path = str(tmp_path / "resume.npz")
+    agent.save_checkpoint(path, ts)
+    nu_saved = jax.tree_util.tree_leaves(ts.opt_state)[2]
+
+    agent.load_stage_checkpoint(path)
+    ts2 = agent.init_state()
+    assert int(ts2.epoch) == int(ts.epoch) == 1
+    nu_loaded = jax.tree_util.tree_leaves(ts2.opt_state)[2]
+    np.testing.assert_allclose(np.asarray(nu_loaded, np.float32),
+                               np.asarray(nu_saved, np.float32), atol=1e-6)
