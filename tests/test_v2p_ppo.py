@@ -42,8 +42,7 @@ def test_surgery_roundtrip(agent, tmp_path):
     ts = agent.init_state()
     path = str(tmp_path / "stage1.npz")
     agent.save_checkpoint(path, ts)
-    agent.load_stage_checkpoint(path)
-    ts2 = agent.init_state()
+    ts2 = agent.load_stage_checkpoint(path)
     a = jax.tree_util.tree_leaves(ts.params)[0]
     b = jax.tree_util.tree_leaves(ts2.params)[0]
     assert np.allclose(np.asarray(a), np.asarray(b))
@@ -61,8 +60,7 @@ def test_normalizers_roundtrip_through_checkpoint(agent, tmp_path):
     saved_n = float(ts.obs_norm.n)
     assert saved_n > 0
 
-    agent.load_stage_checkpoint(path)
-    ts2 = agent.init_state()
+    ts2 = agent.load_stage_checkpoint(path)
     assert float(ts2.obs_norm.n) == saved_n
     np.testing.assert_allclose(np.asarray(ts2.obs_norm.mean), saved_mean,
                                atol=1e-6)
@@ -80,8 +78,7 @@ def test_single_policy_checkpoint_tiles_into_dual(agent, tmp_path):
 
     dual = V2PPPO(agent.env,
                   dataclasses.replace(agent.cfg, num_policies=2), seed=4)
-    dual.load_stage_checkpoint(path)
-    ts_d = dual.init_state()
+    ts_d = dual.load_stage_checkpoint(path)
     leaf = jax.tree_util.tree_leaves(ts_d.params)[0]
     single_leaf = jax.tree_util.tree_leaves(ts.params)[0]
     assert leaf.shape == (2,) + single_leaf.shape
@@ -103,9 +100,10 @@ def test_resume_restores_epoch_and_optimizer(agent, tmp_path):
     agent.save_checkpoint(path, ts)
     nu_saved = jax.tree_util.tree_leaves(ts.opt_state)[2]
 
-    agent.load_stage_checkpoint(path)
-    ts2 = agent.init_state()
+    ts2 = agent.load_stage_checkpoint(path)
     assert int(ts2.epoch) == int(ts.epoch) == 1
+    # purity: a later plain init_state is unaffected by the load above
+    assert int(agent.init_state().epoch) == 0
     nu_loaded = jax.tree_util.tree_leaves(ts2.opt_state)[2]
     np.testing.assert_allclose(np.asarray(nu_loaded, np.float32),
                                np.asarray(nu_saved, np.float32), atol=1e-6)

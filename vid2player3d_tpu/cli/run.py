@@ -254,9 +254,9 @@ def _load_mvae_spec(mvae_dir: str, player: str, seed: int):
     return P.make_random_spec(jax.random.PRNGKey(seed), player=player), None
 
 
-def _train_loop(agent, run_cfg, args, logger):
+def _train_loop(agent, run_cfg, args, logger, ts0=None):
     best = float("-inf")
-    ts = agent.init_state()
+    ts = ts0 if ts0 is not None else agent.init_state()
     env_steps = agent.env.cfg.num_envs * agent.cfg.horizon
     epochs = args.epochs or run_cfg.max_epochs
     for e in range(1, epochs + 1):
@@ -283,13 +283,13 @@ def _train_loop(agent, run_cfg, args, logger):
     return ts
 
 
-def _eval_loop(agent, run_cfg, args):
+def _eval_loop(agent, run_cfg, args, ts=None):
     """Deterministic evaluation: report reward / behavioral stats
     (reference `--test` players, `mvae_controller_vis.py:81-95`); with
     --render also produce a watchable standalone HTML rollout."""
     from vid2player3d_tpu.eval import evaluate
 
-    report = evaluate(agent, num_epochs=args.epochs or 5)
+    report = evaluate(agent, num_epochs=args.epochs or 5, ts=ts)
     print(json.dumps(report, indent=2))
 
     if args.render:
@@ -303,10 +303,10 @@ def _eval_loop(agent, run_cfg, args):
 
         npz = os.path.splitext(args.render)[0] + ".npz"
         if isinstance(agent, V2PPPO):
-            export_rollout(agent, npz)
+            export_rollout(agent, npz, ts=ts)
             env_ids = None
             if args.select_best:
-                _, stats_pe = eval_tennis(agent, per_env=True)
+                _, stats_pe = eval_tennis(agent, per_env=True, ts=ts)
                 env_ids = select_best(stats_pe, num=4)
                 print(f"select_best env ids: {np.asarray(env_ids).tolist()}")
             render_html(npz, args.render, env_ids=env_ids,
@@ -314,7 +314,7 @@ def _eval_loop(agent, run_cfg, args):
         else:
             # imitation: simulated skeleton + reference ghost, the
             # side-by-side vis (`humanoid_smpl_im_vis.py:72-155`)
-            export_imitation_rollout(agent, npz)
+            export_imitation_rollout(agent, npz, ts=ts)
             render_html(npz, args.render)
         print(f"wrote {args.render}")
     return report
@@ -377,19 +377,20 @@ def main(argv: Optional[list] = None) -> int:
     if ck is None and run_cfg.warm_start:
         cand = os.path.join(args.out, run_cfg.warm_start, "best.npz")
         ck = cand if os.path.exists(cand) else None
+    ts0 = None
     if ck:
         if run_cfg.kind == "im":
-            agent.load_checkpoint(ck)
+            ts0 = agent.load_checkpoint(ck)
         else:
-            agent.load_stage_checkpoint(
+            ts0 = agent.load_stage_checkpoint(
                 ck, discard_sigma=run_cfg.discard_pretrained_sigma)
 
     if args.test:
-        _eval_loop(agent, run_cfg, args)
+        _eval_loop(agent, run_cfg, args, ts=ts0)
         return 0
 
     logger = MetricsLogger(args.out, args.epochs or run_cfg.max_epochs)
-    _train_loop(agent, run_cfg, args, logger)
+    _train_loop(agent, run_cfg, args, logger, ts0=ts0)
     return 0
 
 

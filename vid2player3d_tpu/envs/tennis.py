@@ -192,14 +192,19 @@ class StepOutput:
     done: jnp.ndarray
     terminate: jnp.ndarray
     sub_rewards: jnp.ndarray
+    # behavioral env stats surfaced to the learner's metrics (the reference
+    # pushes task stats through env `extras`, physics_mvae_controller.py:438-439)
+    extras: Dict[str, jnp.ndarray] = dataclasses.field(default_factory=dict)
 
     def tree_flatten(self):
+        ex_keys = tuple(sorted(self.extras))
         return (self.obs, self.reward, self.done, self.terminate,
-                self.sub_rewards), ()
+                self.sub_rewards) + tuple(self.extras[k] for k in ex_keys), \
+            ex_keys
 
     @classmethod
-    def tree_unflatten(cls, aux, ch):
-        return cls(*ch)
+    def tree_unflatten(cls, ex_keys, ch):
+        return cls(*ch[:5], extras=dict(zip(ex_keys, ch[5:])))
 
 
 class TennisEnv:
@@ -990,9 +995,9 @@ class TennisEnv:
         obs = jnp.where(has_nan[:, None], 0.0, obs)
         terminate = out_of_court | has_nan
 
-        ball_passed = (ball_pos[:, 1] < root_pos[:, 1] - 1.0) \
-            & (new_state.tar_action == 1)
-        reset_recovery = (new_state.tar_action == 1) & (contact | ball_passed)
+        in_reaction = new_state.tar_action == 1   # pre-transition role
+        ball_passed = (ball_pos[:, 1] < root_pos[:, 1] - 1.0) & in_reaction
+        reset_recovery = in_reaction & (contact | ball_passed)
         reset_reaction = self._reaction_trigger(new_state, tar_time,
                                                 contact_now)
 
@@ -1051,9 +1056,31 @@ class TennisEnv:
             reset_buf=done.astype(jnp.int32),
             terminate_buf=terminate.astype(jnp.int32))
 
+        # behavioral stats per step, aggregated by the learner into per-epoch
+        # training metrics (reference env-extras stats path,
+        # `physics_mvae_controller.py:438-439`): swing cycles end on the
+        # reaction→recovery transition or on a terminal miss mid-reaction
+        f32 = jnp.float32
+        cycle_end = reset_recovery | (done & in_reaction)
+        extras = {
+            "cycle_end": cycle_end.astype(f32),
+            "cycle_hit": (cycle_end & contact).astype(f32),
+            "contact_now": contact_now.astype(f32),
+            "contact_est_in": (contact_now & est_bounce_in).astype(f32),
+            "swing_fh": (cycle_end
+                         & (new_state.mvae.swing_type_cycle == 1)).astype(f32),
+            "swing_bh": (cycle_end
+                         & (new_state.mvae.swing_type_cycle >= 2)).astype(f32),
+            "in_reaction": in_reaction.astype(f32),
+            "racket_ball_dist": jnp.where(
+                in_reaction,
+                jnp.linalg.norm(ball_pos - racket_pos, axis=-1), 0.0),
+        }
+
         return new_state, StepOutput(
             obs=obs, reward=reward, done=done.astype(jnp.int32),
-            terminate=terminate.astype(jnp.int32), sub_rewards=subs)
+            terminate=terminate.astype(jnp.int32), sub_rewards=subs,
+            extras=extras)
 
     # -- low-level policy obs ----------------------------------------------------
 

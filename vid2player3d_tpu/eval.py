@@ -25,25 +25,26 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def evaluate(agent, num_epochs: int = 5, steps_per_epoch: Optional[int] = None
-             ) -> Dict[str, float]:
+def evaluate(agent, num_epochs: int = 5, steps_per_epoch: Optional[int] = None,
+             ts=None) -> Dict[str, float]:
     from vid2player3d_tpu.learn.ppo import ImitationPPO
     from vid2player3d_tpu.learn.v2p_ppo import V2PPPO
 
     if isinstance(agent, ImitationPPO):
-        return eval_imitation(agent, num_rollouts=num_epochs)
+        return eval_imitation(agent, num_rollouts=num_epochs, ts=ts)
     if isinstance(agent, V2PPPO):
-        return eval_tennis(agent, num_steps=(steps_per_epoch or 64) * num_epochs)
+        return eval_tennis(agent, num_steps=(steps_per_epoch or 64) * num_epochs,
+                           ts=ts)
     raise TypeError(f"don't know how to evaluate {type(agent)}")
 
 
 # ---- imitation ----------------------------------------------------------------
 
-def eval_imitation(agent, num_rollouts: int = 5) -> Dict[str, float]:
+def eval_imitation(agent, num_rollouts: int = 5, ts=None) -> Dict[str, float]:
     """Deterministic rollouts of the imitation policy; aggregates the same
     sub-reward decomposition the trainer logs (`humanoid_smpl_im.py:918-953`)."""
     env = agent.env
-    ts = agent.init_state()
+    ts = ts if ts is not None else agent.init_state()
     horizon = agent.cfg.horizon
 
     @jax.jit
@@ -85,13 +86,13 @@ def eval_imitation(agent, num_rollouts: int = 5) -> Dict[str, float]:
 
 # ---- tennis --------------------------------------------------------------------
 
-def eval_tennis(agent, num_steps: int = 300, per_env: bool = False):
+def eval_tennis(agent, num_steps: int = 300, per_env: bool = False, ts=None):
     """Deterministic high-level policy rollout; behavioral stats accumulated
     PER SWING CYCLE like the reference (`mvae_controller_vis.py:81-95`
     updates on recovery transitions): hit rate, estimated bounce-in rate,
     estimated bounce position error (on in-balls), forehand ratio."""
     env = agent.env
-    ts = agent.init_state()
+    ts = ts if ts is not None else agent.init_state()
 
     @jax.jit
     def run(state, obs):
@@ -174,7 +175,8 @@ def select_best(stats_pe: Dict[str, np.ndarray], num: int = 1,
 
 # ---- rollout export --------------------------------------------------------------
 
-def export_imitation_rollout(agent, path: str, num_steps: int = 90) -> str:
+def export_imitation_rollout(agent, path: str, num_steps: int = 90,
+                             ts=None) -> str:
     """Dump a deterministic imitation rollout: simulated body positions plus
     the reference-motion target as a ghost skeleton — the data behind the
     reference's side-by-side mujoco visualizer
@@ -187,7 +189,7 @@ def export_imitation_rollout(agent, path: str, num_steps: int = 90) -> str:
     if not isinstance(agent, ImitationPPO):
         raise TypeError("imitation rollout export needs an ImitationPPO")
     env = agent.env
-    ts = agent.init_state()
+    ts = ts if ts is not None else agent.init_state()
 
     L = env.cfg.context_length
 
@@ -226,7 +228,7 @@ def export_imitation_rollout(agent, path: str, num_steps: int = 90) -> str:
     return path
 
 
-def export_rollout(agent, path: str, num_steps: int = 150) -> str:
+def export_rollout(agent, path: str, num_steps: int = 150, ts=None) -> str:
     """Dump a deterministic rollout as npz for offline visualization
     (per-frame kinematics — the reference's vis stack renders exactly these
     quantities via smpl_visualizer, `mvae_controller_vis.py:97-242`)."""
@@ -235,7 +237,7 @@ def export_rollout(agent, path: str, num_steps: int = 150) -> str:
     if not isinstance(agent, V2PPPO):
         raise TypeError("rollout export currently targets tennis agents")
     env = agent.env
-    ts = agent.init_state()
+    ts = ts if ts is not None else agent.init_state()
 
     @jax.jit
     def run(state, obs):

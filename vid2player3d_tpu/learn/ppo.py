@@ -195,11 +195,14 @@ class ImitationPPO:
                               "opt_state": ts.opt_state,
                               "epoch": ts.epoch, "lr": ts.lr})
 
-    def load_checkpoint(self, path: str) -> None:
+    def load_checkpoint(self, path: str) -> TrainState:
         """Full resume: params + running stats + optimizer state + epoch/lr
         (stats migration per `im_agent.py:141-155`). Checkpoints written
         before optimizer state was saved load fine — missing keys keep the
-        fresh Adam init (surgery semantics)."""
+        fresh Adam init (surgery semantics).
+
+        PURE: returns the restored TrainState without mutating the agent —
+        loads never affect subsequent `init_state()` calls."""
         from ..utils import checkpoint as CK
 
         like = {"params": self._init.params, "obs_norm": self._init.obs_norm,
@@ -212,20 +215,24 @@ class ImitationPPO:
         # lr, `djokovic_im.yaml` lr 1e-5 from amass_im 2e-5)
         lr = loaded["lr"] if self.cfg.lr_schedule == "adaptive" \
             else self._init.lr
-        self._init = dataclasses.replace(
+        ts = dataclasses.replace(
             self._init, params=loaded["params"], obs_norm=loaded["obs_norm"],
             val_norm=loaded["val_norm"], opt_state=loaded["opt_state"],
             epoch=loaded["epoch"], lr=lr)
+        return self._finalize(ts)
 
-    def init_state(self) -> TrainState:
+    def _finalize(self, ts: TrainState) -> TrainState:
         # fresh buffers every call: train_epoch donates its input state, so the
         # cached template must never be handed out by reference
-        ts = jax.tree_util.tree_map(jnp.copy, self._init)
+        ts = jax.tree_util.tree_map(jnp.copy, ts)
         if self.mesh is not None:
             from vid2player3d_tpu import parallel
 
             ts = parallel.replicate(ts, self.mesh)
         return ts
+
+    def init_state(self) -> TrainState:
+        return self._finalize(self._init)
 
     # -- policy forward -------------------------------------------------------
 

@@ -113,27 +113,27 @@ class V2PPPO:
         assert nbatch % cfg.minibatch_size == 0
         self.num_minibatches = nbatch // cfg.minibatch_size
 
-    def init_state(self) -> V2PTrainState:
+    def init_state(self, warm: Dict[str, Any] = None) -> V2PTrainState:
+        """Fresh TrainState; `warm` (from `load_stage_checkpoint`'s loader)
+        overrides individual fields. Pure — never reads mutable agent state."""
+        warm = warm or {}
         k_env, key = jax.random.split(self._key0)
         env_state, obs = self.env.reset_all(k_env)
-        params = jax.tree_util.tree_map(jnp.copy, self._init_params)
-        obs_norm = getattr(self, "_init_obs_norm", None) or \
-            RN.RunningNormState.create(self.obs_dim)
-        val_norm = getattr(self, "_init_val_norm", None) or \
-            RN.RunningNormState.create(1)
-        opt_state = getattr(self, "_init_opt_state", None) or \
-            self.tx.init(params)
-        opt_state = jax.tree_util.tree_map(jnp.copy, opt_state)
+
+        def pick(name, default):
+            v = warm[name] if name in warm else default
+            return jax.tree_util.tree_map(jnp.copy, v)
+
+        params = pick("params", self._init_params)
         ts = V2PTrainState(
-            params=params, opt_state=opt_state,
-            obs_norm=jax.tree_util.tree_map(jnp.copy, obs_norm),
-            val_norm=jax.tree_util.tree_map(jnp.copy, val_norm),
+            params=params,
+            opt_state=pick("opt_state", None) if "opt_state" in warm
+                else jax.tree_util.tree_map(jnp.copy, self.tx.init(params)),
+            obs_norm=pick("obs_norm", RN.RunningNormState.create(self.obs_dim)),
+            val_norm=pick("val_norm", RN.RunningNormState.create(1)),
             env_state=env_state, last_obs=obs, key=key,
-            epoch=jnp.copy(getattr(self, "_init_epoch",
-                                   jnp.zeros((), jnp.int32))),
-            lr=jnp.copy(getattr(self, "_init_lr",
-                                jnp.asarray(self.cfg.learning_rate,
-                                            jnp.float32))))
+            epoch=pick("epoch", jnp.zeros((), jnp.int32)),
+            lr=pick("lr", jnp.asarray(self.cfg.learning_rate, jnp.float32)))
         if self.mesh is not None:
             from vid2player3d_tpu import parallel
 
@@ -150,7 +150,8 @@ class V2PPPO:
                 lr=parallel.replicate(ts.lr, self.mesh))
         return ts
 
-    def load_stage_checkpoint(self, path: str, discard_sigma: bool = True):
+    def load_stage_checkpoint(self, path: str, discard_sigma: bool = True
+                              ) -> V2PTrainState:
         """Warm-start from a previous curriculum stage with zero-pad surgery
         on grown obs/action dims (`v2p_agent.py:46-96`). Running obs/value
         normalizers are restored too — the reference migrates running stats
@@ -158,7 +159,10 @@ class V2PPPO:
         A single-policy checkpoint tiles into dual stacked params. Optimizer
         moments restore when present (zero-padded on grown dims — new dims
         start with fresh moments, exactly the surgery semantics); older
-        checkpoints without them keep the fresh Adam init."""
+        checkpoints without them keep the fresh Adam init.
+
+        PURE: returns the warm-started TrainState without mutating the agent
+        (rl_games-style stateful restore was an order-dependence hazard)."""
         like = {"params": self._init_params,
                 "obs_norm": RN.RunningNormState.create(self.obs_dim),
                 "val_norm": RN.RunningNormState.create(1),
@@ -167,16 +171,12 @@ class V2PPPO:
                 "lr": jnp.asarray(self.cfg.learning_rate, jnp.float32)}
         loaded = CK.load_pytree_with_surgery(
             path, like, fill_overrides={"var": 1.0})
-        self._init_params = loaded["params"]
-        self._init_obs_norm = loaded["obs_norm"]
-        self._init_val_norm = loaded["val_norm"]
-        self._init_opt_state = loaded["opt_state"]
         # epoch drives the DR schedule; lr is controller state only under
         # the adaptive schedule (constant-lr stages keep the new config's
         # rate — the curriculum drops lr between stages)
-        self._init_epoch = loaded["epoch"]
-        if self.cfg.lr_schedule == "adaptive":
-            self._init_lr = loaded["lr"]
+        if self.cfg.lr_schedule != "adaptive":
+            loaded.pop("lr")
+        return self.init_state(warm=loaded)
 
     def save_checkpoint(self, path: str, ts: V2PTrainState):
         """Persist policy + running normalizers + optimizer state (matching
@@ -261,7 +261,8 @@ class V2PPPO:
                          value=value, reward=out.reward,
                          done=out.done.astype(jnp.float32),
                          terminate=out.terminate.astype(jnp.float32),
-                         sub_rewards=out.sub_rewards)
+                         sub_rewards=out.sub_rewards,
+                         extras=out.extras)
             return (env_state2, obs_next, key), store
 
         (env_state, last_obs, _), traj = jax.lax.scan(
@@ -399,6 +400,23 @@ class V2PPPO:
         if subs.shape[-1] > 1:
             metrics["ball_pos_reward"] = subs[1]
         metrics["lr"] = lr
+        # behavioral instrumentation: answer "is it swinging / hitting /
+        # landing in?" from the committed curves alone (reference stats
+        # through env extras, `physics_mvae_controller.py:438-439`)
+        ex = traj.get("extras", {})
+        if ex:
+            n_cyc = ex["cycle_end"].sum()
+            n_contact = ex["contact_now"].sum()
+            n_react = ex["in_reaction"].sum()
+            metrics["cycles"] = n_cyc
+            metrics["hit_rate"] = ex["cycle_hit"].sum() / jnp.maximum(n_cyc, 1)
+            metrics["contact_rate"] = ex["contact_now"].mean()
+            metrics["est_bounce_in_rate"] = \
+                ex["contact_est_in"].sum() / jnp.maximum(n_contact, 1)
+            metrics["fh_ratio"] = ex["swing_fh"].sum() / jnp.maximum(n_cyc, 1)
+            metrics["bh_ratio"] = ex["swing_bh"].sum() / jnp.maximum(n_cyc, 1)
+            metrics["racket_ball_dist"] = \
+                ex["racket_ball_dist"].sum() / jnp.maximum(n_react, 1)
 
         new_ts = V2PTrainState(
             params=params, opt_state=opt_state, obs_norm=obs_norm_next,

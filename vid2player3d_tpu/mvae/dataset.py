@@ -58,7 +58,13 @@ def assemble_features(opt: MVAEOption, joint_pos: np.ndarray,
     root = joint_pos[:, 0]
     rest = joint_pos[:, 1:].reshape(T, -1)
     parts = []
-    for feat in opt.pose_feature:
+    # CANONICAL feature order — the reference assembles via a fixed if-chain
+    # (`dataset.py:190-211`), NOT the cfg tuple's order; the player's unpack
+    # slices (`tennis/player.py:37-42`) depend on this exact layout
+    order = ("root_pos", "root_velo", "joint_pos", "joint_velo",
+             "joint_rotmat")
+    assert set(opt.pose_feature) <= set(order), opt.pose_feature
+    for feat in (f for f in order if f in opt.pose_feature):
         if feat == "root_pos":
             if opt.condition_root_x_only:
                 parts.append(root[:, 0:1])

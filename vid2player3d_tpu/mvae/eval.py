@@ -54,9 +54,10 @@ def random_walk_rollout(spec: "P.MVAEPlayerSpec", init_feature_raw,
 
 
 def _bone_lengths(root, joints):
-    """Mean bone length per frame. root (T,N,3) world pelvis; joints
-    (T,N,23,3) world joints 1..23 in SMPL order."""
-    full = np.concatenate([root[:, :, None], joints], axis=2)  # (T,N,24,3)
+    """Mean bone length per frame. joints (T,N,23,3) ROOT-RELATIVE joints
+    1..23 in SMPL order (the dataset/feature convention, `dataset.py`
+    assemble_features): pelvis sits at the origin of the relative frame."""
+    full = np.concatenate([np.zeros_like(root)[:, :, None], joints], axis=2)
     lens = []
     for j in range(1, 24):
         p = int(SMPL_PARENTS[j])
@@ -82,7 +83,9 @@ def random_walk_metrics(spec: "P.MVAEPlayerSpec", init_feature_raw,
     # own per-env minimum height (stance proxy)
     la = SMPL_BONE_ORDER_NAMES.index("L_Ankle") - 1
     ra = SMPL_BONE_ORDER_NAMES.index("R_Ankle") - 1
-    feet = joints[:, :, (la, ra)]                              # (T,N,2,3)
+    # world feet = root + root-relative joint (relative offsets are in world
+    # axes) — skate must be measured in the world frame
+    feet = root[:, :, None] + joints[:, :, (la, ra)]           # (T,N,2,3)
     vel = np.linalg.norm(np.diff(feet[..., :2], axis=0), axis=-1)  # (T-1,N,2)
     low = feet[1:, ..., 2] < (feet[..., 2].min(0, keepdims=True) + 0.05)[0]
     denom = max(low.sum(), 1)
