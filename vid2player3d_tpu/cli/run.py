@@ -58,6 +58,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mvae_batches", type=int, default=None,
                    help="mvae configs: batches per epoch (default "
                         "nseqs/batch_size)")
+    p.add_argument("--dataset_dir", default=None,
+                   help="mvae configs: train on a video-format dataset "
+                        "(manifest.json + npy) instead of the synthetic "
+                        "fixture; generate one with "
+                        "`python -m vid2player3d_tpu.data.tennis_motion`")
     p.add_argument("--pre_run", action="store_true",
                    help="mvae configs: 5-epoch smoke train + random-walk "
                         "rollout metrics (reference motion_vae/train.py:31-36)")
@@ -249,7 +254,13 @@ def _load_mvae_spec(mvae_dir: str, player: str, seed: int):
         ds = make_synthetic_pose_dataset(opt)
         tr = MVAETrainer(opt, ds)
         tr.load_checkpoint("latest")
-        return P.spec_from_trainer(tr, player=player), ds.raw_init_frames(64)
+        # real dataset frames saved with the checkpoint win over the
+        # placeholder dataset's frames (`mvae_player.py:112-158` loads init
+        # conditions from the player's dataset)
+        init_path = os.path.join(mvae_dir, "init_frames.npy")
+        init = np.load(init_path) if os.path.exists(init_path) \
+            else ds.raw_init_frames(64)
+        return P.spec_from_trainer(tr, player=player), init
     print(f"NOTE: no trained MVAE at {meta}; using a random spec")
     return P.make_random_spec(jax.random.PRNGKey(seed), player=player), None
 
@@ -348,7 +359,17 @@ def main(argv: Optional[list] = None) -> int:
         # `_load_mvae_spec` searches when building tennis configs
         opt.checkpoint_dir = args.out
         opt.model_ver = f"mvae_{run_cfg.player}"
-        ds = make_synthetic_pose_dataset(opt)
+        if args.dataset_dir:
+            # the real-data path (`Video3DPoseDataset`, reference
+            # `motion_vae/base.py:23-111`): manifest + npy layout, phase
+            # labels from hit keyframes
+            from vid2player3d_tpu.mvae.dataset import load_video_dataset
+
+            ds = load_video_dataset(opt, args.dataset_dir)
+            print(f"dataset: {args.dataset_dir} "
+                  f"({len(ds.rollouts)} rollout windows)")
+        else:
+            ds = make_synthetic_pose_dataset(opt)
         trainer = MVAETrainer(opt, ds)
         if args.test:
             # random-walk rollout harness for a trained MVAE (reference

@@ -76,6 +76,11 @@ class MVAETrainer:
     @functools.partial(jax.jit, static_argnums=0)
     def _train_window(self, params, opt_state, feat, phase, key, regressive,
                       phase_w, lr):
+        return self._train_window_body(params, opt_state, feat, phase, key,
+                                       regressive, phase_w, lr)
+
+    def _train_window_body(self, params, opt_state, feat, phase, key,
+                           regressive, phase_w, lr):
         """feat (B,L,F) normalized; phase (B,L,2); regressive: bool scalar;
         phase_w: scalar phase-loss weight (0 on unlabeled batches)."""
         opt = self.opt
@@ -156,27 +161,55 @@ class MVAETrainer:
         decay = max(0, self.epoch - self.opt.n_epochs)
         return self.opt.lr * max(0.0, 1.0 - decay / self.opt.n_epochs_decay)
 
-    def train_epoch(self, batches_per_epoch: Optional[int] = None
-                    ) -> Dict[str, float]:
+    @functools.partial(jax.jit, static_argnums=0)
+    def _train_fused(self, params, opt_state, feats, phases, key, regs,
+                     phase_ws, lr):
+        """K batches in ONE device program: lax.scan over the stacked batch
+        axis, each step = the full `_train_window` body. On the tunneled TPU
+        one small dispatch costs ~50-100 ms host round-trip, so an epoch of
+        500 separate window calls is latency-bound; fusing K per call
+        amortizes it K-fold (same math, same update order)."""
+        def body(carry, x):
+            p, ost = carry
+            feat, phase, reg, pw, k = x
+            p, ost, losses = self._train_window_body(
+                p, ost, feat, phase, k, reg, pw, lr)
+            return (p, ost), losses
+
+        K = feats.shape[0]
+        keys = jax.random.split(key, K)
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (feats, phases, regs, phase_ws, keys))
+        return params, opt_state, {k: jnp.mean(v) for k, v in losses.items()}
+
+    def train_epoch(self, batches_per_epoch: Optional[int] = None,
+                    fuse: int = 16) -> Dict[str, float]:
         opt = self.opt
         nb = batches_per_epoch or max(1, opt.nseqs // opt.batch_size)
         acc: Dict[str, float] = {}
-        for _ in range(nb):
-            use_phase = self._sample_phase(self.epoch)
-            ds = self.dataset if (use_phase or self.dataset_no_phase is None
-                                  ) else self.dataset_no_phase
-            feat, phase = ds.sample_batch(opt.batch_size)
-            phase_w = opt.weights.get("recon_phase", 0.0) if (
-                opt.predict_phase and use_phase) else 0.0
+        done = 0
+        lr = jnp.asarray(self.current_lr(), jnp.float32)
+        while done < nb:
+            k = min(fuse, nb - done)
+            feats, phases, regs, pws = [], [], [], []
+            for _ in range(k):
+                use_phase = self._sample_phase(self.epoch)
+                ds = self.dataset if (use_phase
+                                      or self.dataset_no_phase is None
+                                      ) else self.dataset_no_phase
+                feat, phase = ds.sample_batch(opt.batch_size)
+                feats.append(feat), phases.append(phase)
+                regs.append(self._regressive(self.epoch))
+                pws.append(opt.weights.get("recon_phase", 0.0) if (
+                    opt.predict_phase and use_phase) else 0.0)
             self._key, sub = jax.random.split(self._key)
-            self.params, self.opt_state, losses = self._train_window(
-                self.params, self.opt_state, jnp.asarray(feat),
-                jnp.asarray(phase), sub,
-                jnp.asarray(self._regressive(self.epoch)),
-                jnp.asarray(phase_w, jnp.float32),
-                jnp.asarray(self.current_lr(), jnp.float32))
-            for k, v in losses.items():
-                acc[k] = acc.get(k, 0.0) + float(v) / nb
+            self.params, self.opt_state, losses = self._train_fused(
+                self.params, self.opt_state,
+                jnp.asarray(np.stack(feats)), jnp.asarray(np.stack(phases)),
+                sub, jnp.asarray(regs), jnp.asarray(pws, jnp.float32), lr)
+            for kk, v in losses.items():
+                acc[kk] = acc.get(kk, 0.0) + float(v) * k / nb
+            done += k
         self.epoch += 1
         return acc
 
@@ -201,6 +234,13 @@ class MVAETrainer:
         ckpt.save_pytree(os.path.join(d, f"{label}.npz"), self.params)
         np.save(os.path.join(d, "avg.npy"), self.dataset.avg)
         np.save(os.path.join(d, "std.npy"), self.dataset.std)
+        # raw dataset frames for rollout/tennis-env init conditions — the
+        # reference loads init conditions from the dataset at controller
+        # build time (`mvae_player.py:112-158`); persisting them with the
+        # checkpoint lets tennis runs start from REAL dataset states without
+        # re-reading the dataset
+        np.save(os.path.join(d, "init_frames.npy"),
+                self.dataset.raw_init_frames(256))
 
     def load_checkpoint(self, label: str = "latest"):
         d = os.path.join(self.opt.checkpoint_dir, self.opt.model_ver)
