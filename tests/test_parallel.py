@@ -59,3 +59,29 @@ def test_sharded_epoch_matches_unsharded(cpu_mesh):
         np.testing.assert_allclose(m1[k], m8[k], rtol=1e-4, atol=1e-5,
                                    err_msg=k)
     assert all(np.isfinite(v) for v in m8.values()), m8
+
+
+@pytest.mark.slow
+def test_per_chip_minibatch_semantics(cpu_mesh):
+    """`minibatch_per_chip=True` = the reference's Horovod data parallelism
+    (each rank consumes its own LOCAL minibatches while gradients all-reduce,
+    `common_agent.py:388-395`): dp× fewer optimizer steps than the global
+    semantics at the same per-chip minibatch, finite metrics, and identical
+    rollout-level numbers."""
+    from vid2player3d_tpu.data.synthetic import make_synthetic_motion_lib
+    from vid2player3d_tpu.envs import HumanoidImConfig, HumanoidImEnv
+    from vid2player3d_tpu.learn import ImitationPPO, PPOConfig
+
+    lib = make_synthetic_motion_lib(num_motions=2, T=30, fps=30.0, seed=0)
+    env = HumanoidImEnv(HumanoidImConfig(num_envs=16, substeps=2), lib,
+                        rng=0)
+    env = env.shard(cpu_mesh)
+    agent = ImitationPPO(
+        env, PPOConfig(horizon=4, minibatch_size=4, mini_epochs=1,
+                       minibatch_per_chip=True),
+        seed=7, mesh=cpu_mesh)
+    # 16 envs * 4 horizon = 64 global, 8 local per chip, mb 4 -> 2 steps
+    assert agent.num_minibatches == 2
+    ts = agent.init_state()
+    ts, m = agent.train_epoch(ts)
+    assert all(np.isfinite(float(v)) for v in m.values()), m

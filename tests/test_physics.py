@@ -170,3 +170,55 @@ def test_humanoid_drop_and_stand():
     assert (rp[:, 2] > 0.02).all(), rp
     assert (rp[:, 2] < 1.2).all(), rp
     assert np.abs(np.asarray(state.root_vel)).max() < 0.5
+
+
+def test_self_collision_arm_deflects_off_torso():
+    """An arm PD-commanded into the torso must deflect when the model's
+    curated self-collision pairs are active (the reference's PhysX collision
+    filter masks, `humanoid_smpl_im_mvae.py:388-417`) and pass through when
+    they are off. Measured as elbow-vs-torso sphere penetration."""
+    from vid2player3d_tpu.core import quat as Q
+
+    body = S.make_synthetic_smpl()
+    models = {sc: asset.build_humanoid_model(body, np.zeros((1, 10)),
+                                             self_collision=sc)
+              for sc in (False, True)}
+    names = list(models[False].names)
+    idx = {n: i for i, n in enumerate(names)}
+    state0 = asset.default_humanoid_state(models[False], 1, root_h=0.92)
+    # swing the arm forward/across and fold the forearm inward — drives the
+    # elbow sphere deep into the torso/spine spheres without collision
+    tar = np.zeros((1, 23, 3), np.float32)
+    tar[0, idx["R_Shoulder"] - 1] = (0.0, 0.0, 2.2)
+    tar[0, idx["R_Elbow"] - 1] = (0.0, -1.8, 0.0)
+    tarj = jnp.asarray(tar.reshape(1, 69))
+
+    def max_pen(self_collision):
+        model = models[self_collision]
+
+        @jax.jit
+        def roll(state):
+            def body_fn(s, _):
+                s = engine.control_step(model, s, tarj, substeps=4)
+                bp, bq, _, _ = engine.fk_world(model, s)
+                return s, (bp, bq)
+            return jax.lax.scan(body_fn, state, None, length=40)
+
+        _, (bp, bq) = roll(state0)
+        bp, bq = np.asarray(bp)[:, 0], np.asarray(bq)[:, 0]
+        off = np.asarray(model.contact_offset)[0, :24]
+        rad = np.asarray(model.contact_radius)[0]
+        rm = np.asarray(Q.quat_to_rotmat(
+            jnp.asarray(bq.reshape(-1, 4)))).reshape(bp.shape[0], 24, 3, 3)
+        cw = bp + np.einsum("tjab,jb->tja", rm, off)
+        worst = -np.inf
+        for i, j in models[True].collision_pairs:
+            d = np.linalg.norm(cw[:, i] - cw[:, j], axis=-1)
+            worst = max(worst, float(((rad[i] + rad[j]) - d).max()))
+        assert np.isfinite(bp).all()
+        return worst
+
+    pen_off = max_pen(False)
+    pen_on = max_pen(True)
+    assert pen_off > 0.05, pen_off      # the probe really interpenetrates
+    assert pen_on < pen_off - 0.04, (pen_on, pen_off)

@@ -121,3 +121,68 @@ def test_dual_policy_routing_trains():
     assert leaf0.shape[0] == 2
     assert not np.allclose(np.asarray(leaf0[0]), np.asarray(leaf0[1]))
     assert not np.allclose(np.asarray(leaf0), old0)
+
+
+def test_dual_per_player_identity():
+    """Dual rallies run TWO distinct player identities: per-lane MVAE spec,
+    handedness (grips/wrist), two-hand flag, and per-lane frozen low-level
+    nets (`mvae_player.py:33-40`, `im_player.py:54-90`,
+    `federer_djokovic.yaml:65`)."""
+    key = jax.random.PRNGKey(5)
+    spec_a = P.make_random_spec(key, player="federer", hidden=32, experts=2)
+    spec_b = dataclasses.replace(
+        P.make_random_spec(jax.random.fold_in(key, 1), player="nadal",
+                           hidden=32, experts=2),
+        righthand=False)
+    rng = np.random.default_rng(0)
+    fa = (rng.standard_normal((8, P.FRAME_SIZE)) * 0.05).astype(np.float32)
+    fb = (rng.standard_normal((8, P.FRAME_SIZE)) * 0.05).astype(np.float32)
+    fa[:, 2] = fb[:, 2] = 0.95
+    cfg = TennisConfig(num_envs=4, substeps=2, max_episode_length=50,
+                       reset_reaction_nframes=12, two_hand_iters=2)
+    gen = TennisBallGenerator(num_candidates=256, seed=0)
+
+    # distinct per-lane pi_low stubs: lane B pushes a recognizable constant
+    def pi_a(params, obs):
+        return jnp.zeros((obs.shape[0], 69))
+
+    def pi_b(params, obs):
+        return jnp.full((obs.shape[0], 69), 0.01)
+
+    env = DualTennisEnv(cfg, (spec_a, spec_b), (fa, fb),
+                        ball_generator=gen,
+                        pi_low=pi_a, pi_low_params=None,
+                        pi_low_b=pi_b, pi_low_params_b=None,
+                        two_hand_lanes=(False, True))
+    # per-lane handedness plumbing
+    from vid2player3d_tpu.core.smpl import MUJOCO_JOINT_NAMES as MJ
+    wid = np.asarray(env.wrist_id)
+    assert wid[0] == MJ.index("R_Wrist") and wid[2] == MJ.index("R_Wrist")
+    assert wid[1] == MJ.index("L_Wrist") and wid[3] == MJ.index("L_Wrist")
+    assert list(np.asarray(env.two_hand_mask)) == [False, True, False, True]
+    assert env.any_two_hand
+    # grip frames mirrored for the left-handed lane
+    rd = np.asarray(env.racket_dir_c)
+    assert rd[0, 0] == -1.0 and rd[1, 0] == 1.0
+    # racket mass welded into each lane's OWN wrist (delta vs unwelded —
+    # the synthetic body's base masses are asymmetric)
+    env_nw = DualTennisEnv(
+        dataclasses.replace(cfg, simulated_racket_mass=False),
+        (spec_a, spec_b), (fa, fb), ball_generator=gen,
+        pi_low=pi_a, pi_low_params=None, pi_low_b=pi_b,
+        pi_low_params_b=None, two_hand_lanes=(False, True))
+    dm = np.asarray(env.model.body_mass) - np.asarray(env_nw.model.body_mass)
+    assert abs(dm[0, MJ.index("R_Wrist")] - 0.591) < 1e-3
+    assert abs(dm[0, MJ.index("L_Wrist")]) < 1e-6
+    assert abs(dm[1, MJ.index("L_Wrist")] - 0.591) < 1e-3
+    assert abs(dm[1, MJ.index("R_Wrist")]) < 1e-6
+
+    state, obs = env.reset_all(jax.random.PRNGKey(7))
+    assert np.isfinite(np.asarray(obs)).all()
+    step = jax.jit(env.step)
+    key = jax.random.PRNGKey(8)
+    for _ in range(6):
+        key, sub = jax.random.split(key)
+        act = 0.1 * jax.random.normal(sub, (4, env.num_actions))
+        state, out = step(state, act)
+        assert np.isfinite(np.asarray(out.obs)).all()

@@ -334,7 +334,8 @@ def test_racket_mass_welded_into_wrist():
     mass/inertia into the wrist body is the exact rigid-body reduction."""
     env = _env()                                    # simulated_racket_mass on
     env_off = _env(simulated_racket_mass=False)
-    w = env.wrist_id
+    import numpy as _np
+    w = int(_np.asarray(env.wrist_id)[0])   # homogeneous single-player env
     dm = np.asarray(env.model.body_mass[:, w]
                     - env_off.model.body_mass[:, w])
     np.testing.assert_allclose(dm, 0.591, atol=1e-3)
@@ -352,4 +353,4 @@ def test_racket_mass_welded_into_wrist():
     # COM moved toward the racket (along the grip direction)
     dcom = np.asarray(env.model.body_com[0, w]
                       - env_off.model.body_com[0, w])
-    assert float(dcom @ np.asarray(env.racket_dir_c)) > 0.05
+    assert float(dcom @ np.asarray(env.racket_dir_c)[0]) > 0.05

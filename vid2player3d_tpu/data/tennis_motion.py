@@ -593,6 +593,40 @@ def generate_tennis_dataset(out_dir: str, num_sequences: int = 64,
     return out_dir
 
 
+def tennis_motion_lib(num_sequences: int = 32, cycles_per_seq: int = 5,
+                      seed: int = 0, righthand: bool = True,
+                      smpl_model=None, out_path: Optional[str] = None):
+    """Generated rallies → `MotionLib` for LOW-LEVEL imitation fine-tuning —
+    the analog of the reference's player-specific tennis-motion stage
+    (`djokovic_im.yaml`, README.md:86-89): π_low fine-tunes on the same
+    motion distribution the MVAE decodes, so it tracks swings it will
+    actually be asked to track."""
+    from ..core import rot as R
+    from .amass import build_motion_lib, convert_amass_sequence
+
+    smpl_model = smpl_model or S.make_synthetic_smpl()
+    skel = Skeleton.from_smpl(smpl_model)
+    rng = np.random.default_rng(seed)
+    entries = []
+    betas = np.zeros(10, np.float32)
+    j0 = skel.rest[0]
+    for _ in range(num_sequences):
+        seq = generate_rally_sequence(rng, skel, n_cycles=cycles_per_seq)
+        if not righthand:
+            seq = mirror_sequence(seq)
+        rot = seq["joint_rotmat"].astype(np.float64)
+        T = rot.shape[0]
+        pose_aa = np.asarray(R.rotmat_to_angle_axis(
+            rot.reshape(-1, 3, 3))).reshape(T, 72).astype(np.float32)
+        trans = seq["joint_pos"][:, 0] - j0[None].astype(np.float32)
+        entries.append(convert_amass_sequence(
+            smpl_model, pose_aa, trans, betas, fps=30.0))
+    lib = build_motion_lib(entries)
+    if out_path:
+        lib.save(out_path)
+    return lib
+
+
 def _main(argv=None):
     import argparse
 

@@ -64,6 +64,10 @@ class HumanoidImConfig:
     # perturbations re-draw per epoch in the learner (the fused analog of
     # the reference's reset-path randomization), obs/action noise per step.
     rand_specs: Optional[Tuple["domain_rand.RandSpec", ...]] = None
+    # humanoid self-collision (reference PhysX filter bitmasks,
+    # `humanoid_smpl_im_mvae.py:388-417`): curated sphere-pair penalty
+    # contacts so limbs deflect off the trunk instead of passing through
+    self_collision: bool = True
 
     @property
     def res_torque_scale(self) -> float:
@@ -134,7 +138,9 @@ class HumanoidImEnv:
         bodies = np.asarray(lib.motion_bodies)[np.asarray(motion_ids)]
         scales = np.asarray(lib.motion_body_scales)[np.asarray(motion_ids)]
         self.motion_bodies = jnp.asarray(bodies)
-        self.model = asset.build_humanoid_model(self.smpl, bodies[:, 1:11], scale=scales)
+        self.model = asset.build_humanoid_model(
+            self.smpl, bodies[:, 1:11], scale=scales,
+            self_collision=cfg.self_collision)
 
         names = S.MUJOCO_JOINT_NAMES
         self.head_id = names.index("Head")

@@ -124,6 +124,9 @@ class TennisConfig:
     # "ball_*" fields perturb the BallParams constants, obs/action noise is
     # per step. None = off.
     rand_specs: Optional[Tuple["domain_rand.RandSpec", ...]] = None
+    # humanoid self-collision pairs (PhysX filter-mask analogue,
+    # `humanoid_smpl_im_mvae.py:388-417`)
+    self_collision: bool = True
     # fixed-shape reset amortization: the masked in-step reset recomputes a
     # FULL fresh reset (MVAE init, FK snap, pool sampling) for all N envs
     # every step and masks it — measured at up to ~43% of the fused step.
@@ -211,44 +214,71 @@ class TennisEnv:
     """Host wrapper owning static pieces (spec, model, pools); all step/reset
     logic is pure and jittable."""
 
-    def __init__(self, cfg: TennisConfig, spec: P.MVAEPlayerSpec,
-                 init_conditions: np.ndarray,
+    def __init__(self, cfg: TennisConfig, spec,
+                 init_conditions,
                  ball_generator: Optional[B.TennisBallGenerator] = None,
                  smpl_model: Optional[S.SMPLModel] = None,
                  betas: Optional[np.ndarray] = None,
                  pi_low: Optional[Callable] = None,
                  pi_low_params=None,
+                 pi_low_b: Optional[Callable] = None,
+                 pi_low_params_b=None,
+                 two_hand_lanes: Optional[Tuple[bool, ...]] = None,
                  contact_params: ContactParams = ContactParams()):
+        """`spec` / `init_conditions` may be a single player's or a tuple of
+        per-lane players' (dual rallies run TWO distinct identities: two
+        MVAEs `mvae_player.py:33-40`, two frozen low-level nets
+        `im_player.py:54-90`, per-lane handedness/residual tables, per-lane
+        two-hand flags `federer_djokovic.yaml:65`). Lane of env i =
+        i % num_lanes."""
         self.cfg = cfg
-        self.spec = spec
+        specs = tuple(spec) if isinstance(spec, (tuple, list)) else (spec,)
+        self.spec = specs[0]
         self.smpl = smpl_model if smpl_model is not None else S.make_synthetic_smpl()
         if betas is None:
             betas = np.zeros((cfg.num_envs, 10), np.float32)
-        self.model = asset.build_humanoid_model(self.smpl, betas)
+        self.model = asset.build_humanoid_model(
+            self.smpl, betas, self_collision=cfg.self_collision)
         # gender+betas body channel for the low-level imitation obs (matches
         # `HumanoidImEnv.motion_bodies`, i.e. MotionLib `motion_bodies` 11-dim)
         self.motion_bodies = jnp.concatenate(
             [jnp.zeros((cfg.num_envs, 1), jnp.float32),
              jnp.asarray(betas, jnp.float32)], axis=-1)
+        if isinstance(init_conditions, (tuple, list)):
+            assert len(init_conditions) == len(specs)
+            counts = {np.asarray(c).shape[0] for c in init_conditions}
+            assert len(counts) == 1, "per-lane init sets must be same-sized"
+            self._init_per_lane = counts.pop()
+            init_conditions = np.concatenate(
+                [np.asarray(c, np.float32) for c in init_conditions], axis=0)
+        else:
+            self._init_per_lane = np.asarray(init_conditions).shape[0]
         self.init_conditions = jnp.asarray(init_conditions, jnp.float32)
         self.gen = ball_generator or B.TennisBallGenerator(
             {"ball_traj_length": cfg.ball_traj_pool_len},
             num_candidates=2048)
         self.pi_low = pi_low
         self.pi_low_params = pi_low_params
+        self.pi_low_b = pi_low_b
+        self.pi_low_params_b = pi_low_params_b
         self.contact_params = contact_params
         self.ball_params = B.BallParams()
         # domain randomization engine (`base_task.py:250-445`)
         self.randomizer = domain_rand.DomainRandomizer(cfg.rand_specs) \
             if cfg.rand_specs else None
 
-        names = S.MUJOCO_JOINT_NAMES
-        self.wrist_id = names.index("R_Wrist" if spec.righthand else "L_Wrist")
-        self.free_hand_id = names.index("L_Hand" if spec.righthand
-                                        else "R_Hand")
-        (self.racket_dir_c, self.racket_normal_c, self.racket_reach,
-         self.racket_head_radius) = grip_arrays(
-            "eastern" if spec.righthand else "lefthand_semi_western")
+        # per-env handedness plumbing: every handedness-dependent constant is
+        # an (N,) / (N,3) array gathered from the env's LANE spec, so dual
+        # rallies can pair a right- and a left-handed player (the reference
+        # loads per-player MVAEs and grips, `mvae_player.py:33-40`,
+        # `racket.py:10-45`). Single-player envs have one lane.
+        assert cfg.num_envs % len(specs) == 0
+        self._lane_specs: Tuple[P.MVAEPlayerSpec, ...] = specs
+        self._lane_of_env = np.arange(cfg.num_envs) % len(specs)
+        if two_hand_lanes is not None:
+            assert len(two_hand_lanes) == len(specs)
+            self._lane_two_hand = tuple(two_hand_lanes)
+        self._bind_lane_arrays()
         if cfg.simulated_racket_mass:
             self.model = self._weld_racket_mass(self.model)
         self.obs_dim = (3 + 3 + 24 * 3 + 24 * 6 + 3
@@ -257,28 +287,116 @@ class TennisEnv:
         self._rw = dict(cfg.reward_weights)
         self._rs = dict(cfg.reward_scales)
 
+    def _bind_lane_arrays(self):
+        """Derive per-env handedness-dependent arrays from the lane specs:
+        wrist/free-hand/racket-hand body ids, grip frames, two-hand flags."""
+        names = S.MUJOCO_JOINT_NAMES
+        n_w = {True: names.index("R_Wrist"), False: names.index("L_Wrist")}
+        n_h = {True: names.index("R_Hand"), False: names.index("L_Hand")}
+        lane = self._lane_of_env
+        rh = np.array([s.righthand for s in self._lane_specs], bool)[lane]
+        self.righthand = jnp.asarray(rh)
+        self.wrist_id = jnp.asarray(
+            np.where(rh, n_w[True], n_w[False]).astype(np.int32))
+        self.hand_id = jnp.asarray(
+            np.where(rh, n_h[True], n_h[False]).astype(np.int32))
+        self.free_hand_id = jnp.asarray(
+            np.where(rh, n_h[False], n_h[True]).astype(np.int32))
+        grips = {True: grip_arrays("eastern"),
+                 False: grip_arrays("lefthand_semi_western")}
+        # reach/head radius are grip-independent scalars
+        self.racket_reach = grips[True][2]
+        self.racket_head_radius = grips[True][3]
+        self.racket_dir_c = jnp.asarray(
+            np.where(rh[:, None], grips[True][0], grips[False][0]))
+        self.racket_normal_c = jnp.asarray(
+            np.where(rh[:, None], grips[True][1], grips[False][1]))
+        # two-hand backhand per lane (reference sets it per player,
+        # `federer_djokovic.yaml:65`); single-player: the cfg flag
+        th = getattr(self, "_lane_two_hand",
+                     (self.cfg.two_hand_backhand,) * len(self._lane_specs))
+        self.two_hand_mask = jnp.asarray(np.asarray(th, bool)[lane])
+        self.any_two_hand = bool(np.any(th))
+
+    # env rows of lane l are a STATIC stride (single: all rows lane 0; dual:
+    # even/odd), so per-lane spec application is slice + interleave, never a
+    # dynamic-shape mask
+    def _lane_rows(self, l: int) -> slice:
+        L = len(self._lane_specs)
+        return slice(None) if L == 1 else slice(l, None, L)
+
+    def _interleave_lanes(self, parts):
+        """Inverse of the per-lane stride split: parts[l] holds lane l's
+        rows; stack+reshape restores env order (lanes alternate)."""
+        if len(parts) == 1:
+            return parts[0]
+
+        def merge(*xs):
+            return jnp.stack(xs, axis=1).reshape((-1,) + xs[0].shape[1:])
+
+        return jax.tree_util.tree_map(merge, *parts)
+
+    def _mvae_step(self, mvae, latents, residual):
+        parts = []
+        for l, sp in enumerate(self._lane_specs):
+            r = self._lane_rows(l)
+            res_l = None if residual is None else residual[r]
+            parts.append(P.step(
+                sp, jax.tree_util.tree_map(lambda x: x[r], mvae),
+                latents[r], res_l))
+        return self._interleave_lanes(parts)
+
+    def _mvae_reset(self, key, root_xy):
+        parts = []
+        for l, sp in enumerate(self._lane_specs):
+            r = self._lane_rows(l)
+            init = self._lane_init_conditions(l)
+            n = root_xy[r].shape[0]
+            idx = jax.random.randint(jax.random.fold_in(key, l), (n,), 0,
+                                     init.shape[0])
+            parts.append(P.reset(sp, init[idx], root_xy=root_xy[r]))
+        return self._interleave_lanes(parts)
+
+    def _lane_init_conditions(self, l: int):
+        K = self._init_per_lane
+        if self.init_conditions.shape[0] == K:
+            return self.init_conditions          # shared single set
+        return self.init_conditions[l * K:(l + 1) * K]
+
+    def _apply_pi_low(self, low_obs):
+        """Frozen low-level policy, per lane when a second net is bound
+        (reference dual checkpoint loading into network1/2,
+        `im_player.py:54-90`)."""
+        if self.pi_low_b is None or len(self._lane_specs) == 1:
+            return self.pi_low(self.pi_low_params, low_obs)
+        a = self.pi_low(self.pi_low_params, low_obs[0::2])
+        b = self.pi_low_b(self.pi_low_params_b, low_obs[1::2])
+        return jnp.stack([a, b], axis=1).reshape(-1, a.shape[-1])
+
     def _weld_racket_mass(self, model: ArticulationModel) -> ArticulationModel:
-        """Fold the racket's mass/inertia into the racket-hand wrist body —
-        the exact rigid-body reduction of the reference's jointless racket
-        geoms (`smpl_mesh_humanoid_federer.xml:188-191`): handle = 0.35 m
-        cylinder r=0.016 density 500 (0.141 kg), head = 0.0425 m-thick disc
-        r=0.15 density 150 (0.450 kg), both along the grip direction."""
+        """Fold the racket's mass/inertia into each env's racket-hand wrist
+        body — the exact rigid-body reduction of the reference's jointless
+        racket geoms (`smpl_mesh_humanoid_federer.xml:188-191`): handle =
+        0.35 m cylinder r=0.016 density 500 (0.141 kg), head = 0.0425 m-thick
+        disc r=0.15 density 150 (0.450 kg), both along the grip direction.
+        Per-env wrist/grip (dual rallies can mix handedness)."""
         import numpy as np_
 
-        d = np_.asarray(self.racket_dir_c, np_.float64)
+        d = np_.asarray(self.racket_dir_c, np_.float64)     # (N,3) per env
         m_h, m_d = 0.141, 0.450
         c_h = d * 0.175                       # handle center of mass
         c_d = d * float(self.racket_reach)    # head center
-        w = self.wrist_id
+        w = np_.asarray(self.wrist_id)        # (N,)
         N = model.body_mass.shape[0]
+        rows = np_.arange(N)
 
         mass = np_.asarray(model.body_mass).copy()
         com = np_.asarray(model.body_com).copy()
         inertia = np_.asarray(model.body_inertia).copy()
 
-        m0 = mass[:, w]
+        m0 = mass[rows, w]
         new_m = m0 + m_h + m_d
-        new_com = (com[:, w] * m0[:, None] + m_h * c_h + m_d * c_d) \
+        new_com = (com[rows, w] * m0[:, None] + m_h * c_h + m_d * c_d) \
             / new_m[:, None]
 
         def about_new_com(I_own, m, c):
@@ -294,14 +412,13 @@ class TennisEnv:
         # rod l=0.35, disc r=0.15)
         I_h = np_.eye(3) * (m_h * 0.35 ** 2 / 12.0)
         I_d = np_.eye(3) * (0.5 * m_d * 0.15 ** 2)
-        I_new = (about_new_com(inertia[:, w].astype(np_.float64), m0[:, None,
-                                                                     None],
-                               com[:, w])
+        I_new = (about_new_com(inertia[rows, w].astype(np_.float64),
+                               m0[:, None, None], com[rows, w])
                  + about_new_com(I_h, m_h, c_h)
                  + about_new_com(I_d, m_d, c_d))
-        inertia[:, w] = I_new.astype(inertia.dtype)
-        mass[:, w] = new_m
-        com[:, w] = new_com
+        inertia[rows, w] = I_new.astype(inertia.dtype)
+        mass[rows, w] = new_m
+        com[rows, w] = new_com
         return dataclasses.replace(
             model, body_mass=jnp.asarray(mass), body_com=jnp.asarray(com),
             body_inertia=jnp.asarray(inertia))
@@ -352,14 +469,21 @@ class TennisEnv:
         env.motion_bodies = parallel.shard_leading_axis(self.motion_bodies,
                                                         mesh, axis)
         env.init_conditions = parallel.replicate(self.init_conditions, mesh)
-        # spec is a plain dataclass (not a pytree): replicate its array leaves
-        env.spec = dataclasses.replace(
-            self.spec,
-            params=parallel.replicate(self.spec.params, mesh),
-            avg=parallel.replicate(self.spec.avg, mesh),
-            std=parallel.replicate(self.spec.std, mesh))
+        for f in ("righthand", "wrist_id", "hand_id", "free_hand_id",
+                  "racket_dir_c", "racket_normal_c", "two_hand_mask"):
+            setattr(env, f, parallel.shard_leading_axis(getattr(self, f),
+                                                        mesh, axis))
+        # specs are plain dataclasses (not pytrees): replicate array leaves
+        env._lane_specs = tuple(dataclasses.replace(
+            sp, params=parallel.replicate(sp.params, mesh),
+            avg=parallel.replicate(sp.avg, mesh),
+            std=parallel.replicate(sp.std, mesh)) for sp in self._lane_specs)
+        env.spec = env._lane_specs[0]
         if self.pi_low_params is not None:
             env.pi_low_params = parallel.replicate(self.pi_low_params, mesh)
+        if self.pi_low_params_b is not None:
+            env.pi_low_params_b = parallel.replicate(self.pi_low_params_b,
+                                                     mesh)
         return env
 
     # -- kinematic targets ---------------------------------------------------
@@ -412,12 +536,22 @@ class TennisEnv:
         from ..tennis import twohand
 
         mask = ((mvae.swing_type == 2)
-                & (mvae.phase_pred > 2.0) & (mvae.phase_pred < 5.0))
-        rm = twohand.optimize_two_hand_backhand(
-            mvae.joint_rotmat, self.rest_joints_smpl,
-            righthand=self.spec.righthand, iters=self.cfg.two_hand_iters,
-            mask=mask)
+                & (mvae.phase_pred > 2.0) & (mvae.phase_pred < 5.0)
+                & self.two_hand_mask)
+        rm = mvae.joint_rotmat
+        hands = {bool(sp.righthand) for l, sp in enumerate(self._lane_specs)
+                 if self._lane_two_hand_flag(l)}
+        for rh in sorted(hands):
+            lane_m = mask & (self.righthand == rh)
+            rm = twohand.optimize_two_hand_backhand(
+                rm, self.rest_joints_smpl, righthand=rh,
+                iters=self.cfg.two_hand_iters, mask=lane_m)
         return dataclasses.replace(mvae, joint_rotmat=rm)
+
+    def _lane_two_hand_flag(self, l: int) -> bool:
+        th = getattr(self, "_lane_two_hand",
+                     (self.cfg.two_hand_backhand,) * len(self._lane_specs))
+        return bool(th[l])
 
     def _kinematic_targets(self, mvae: P.MVAEPlayerState, res_root=None):
         """MVAE SMPL-order local rotmats -> sim PD dof targets (69, mujoco
@@ -537,14 +671,11 @@ class TennisEnv:
         N = cfg.num_envs
         k_init, k_xy, k_ball, k_tar, k_tt, k_carry = jax.random.split(key, 6)
 
-        # init MVAE state from a random dataset condition frame, root near
-        # the baseline center (mvae_player.py:229-236)
-        idx = jax.random.randint(k_init, (N,), 0,
-                                 self.init_conditions.shape[0])
-        feat0 = self.init_conditions[idx]
+        # init MVAE state from a random dataset condition frame of each
+        # lane's player, root near the baseline center (mvae_player.py:229-236)
         root_xy = (jax.random.uniform(k_xy, (N, 2)) - 0.5) \
             * jnp.asarray([2.0, 1.5]) + jnp.asarray([0.0, -13.0])
-        mvae = P.reset(self.spec, feat0, root_xy=root_xy)
+        mvae = self._mvae_reset(k_init, root_xy)
 
         # physics humanoid snapped to the kinematic pose
         dof_tar, body_pos, body_rot = self._kinematic_targets(mvae)
@@ -556,7 +687,7 @@ class TennisEnv:
         if cfg.init_ball_type == "serve_toss":
             bp, _, _, _ = engine.fk_world(self.model, sim)
             traj, lpos, lvel, lspin = self._serve_toss(
-                bp[:, self.free_hand_id])
+                bp[jnp.arange(N), self.free_hand_id])
         else:
             traj, lpos, lvel, lspin = self._sample_ball(k_ball, N)
         tt = cfg.reset_reaction_nframes + jax.random.randint(
@@ -647,21 +778,26 @@ class TennisEnv:
         env.cfg = dataclasses.replace(self.cfg, num_envs=K)
         env.model = jax.tree_util.tree_map(lambda a: a[:K], self.model)
         env.motion_bodies = self.motion_bodies[:K]
+        env._lane_of_env = self._lane_of_env[:K]
+        for f in ("righthand", "wrist_id", "hand_id", "free_hand_id",
+                  "racket_dir_c", "racket_normal_c", "two_hand_mask"):
+            setattr(env, f, getattr(self, f)[:K])
         return env
 
     # -- racket ---------------------------------------------------------------
 
     def _wrist_state(self, sim: ArticulationState):
         bp, bq, bl, ba = engine.fk_world(self.model, sim)
-        return bp[:, self.wrist_id], bq[:, self.wrist_id]
+        rows = jnp.arange(bp.shape[0])
+        return bp[rows, self.wrist_id], bq[rows, self.wrist_id]
 
     def _racket(self, wrist_pos, wrist_quat):
         """Racket head + normal from the grip selected for this player's
         handedness (reference `racket.py:10-45`; left-handers get the
         mirrored `lefthand_semi_western` frame)."""
         rm = Q.quat_to_rotmat(wrist_quat)
-        rdir = rm @ jnp.asarray(self.racket_dir_c)
-        rnormal = rm @ jnp.asarray(self.racket_normal_c)
+        rdir = jnp.einsum("nab,nb->na", rm, self.racket_dir_c)
+        rnormal = jnp.einsum("nab,nb->na", rm, self.racket_normal_c)
         return wrist_pos + rdir * self.racket_reach, rnormal
 
     # -- ball substep integration with racket contact --------------------------
@@ -856,10 +992,10 @@ class TennisEnv:
 
         # 3) kinematic MVAE frame (+ optional head look-at-ball fix and
         # two-hand-backhand correction)
-        mvae = P.step(self.spec, state.mvae, latents, residual)
+        mvae = self._mvae_step(state.mvae, latents, residual)
         if cfg.fix_head_orientation:
             mvae = self._fix_head_orientation(mvae, state.ball_pos)
-        if cfg.two_hand_backhand:
+        if self.any_two_hand:
             mvae = self._apply_two_hand(mvae)
         dof_tar, tar_body_pos, tar_body_rot = self._kinematic_targets(
             mvae, res_root)
@@ -876,7 +1012,7 @@ class TennisEnv:
         if self.pi_low is not None:
             low_obs = self._low_level_obs(state.sim, dof_tar, tar_body_pos,
                                           tar_body_rot)
-            low_act = self.pi_low(self.pi_low_params, low_obs)
+            low_act = self._apply_pi_low(low_obs)
             pd_tar = dof_tar + low_act[:, :69]
             root_force = root_torque = None
             if low_act.shape[-1] >= 75:
@@ -898,8 +1034,9 @@ class TennisEnv:
             react = -state.racket_impulse / cfg.control_dt
             wrist_prev, _ = self._wrist_state(state.sim)
             arm = state.racket_pos - wrist_prev
-            extra_f = jnp.zeros((N_, 24, 3)).at[:, self.wrist_id].set(react)
-            extra_t = jnp.zeros((N_, 24, 3)).at[:, self.wrist_id].set(
+            rows = jnp.arange(N_)
+            extra_f = jnp.zeros((N_, 24, 3)).at[rows, self.wrist_id].set(react)
+            extra_t = jnp.zeros((N_, 24, 3)).at[rows, self.wrist_id].set(
                 jnp.cross(arm, react))
         sim = engine.control_step(
             self.model, state.sim, pd_tar, root_force, root_torque,
@@ -909,8 +1046,9 @@ class TennisEnv:
 
         # 6) racket from the new wrist pose; ball substeps + contacts
         bp_new, bq_new, _, _ = engine.fk_world(self.model, sim)
-        wrist_pos = bp_new[:, self.wrist_id]
-        wrist_quat = bq_new[:, self.wrist_id]
+        rows_w = jnp.arange(bp_new.shape[0])
+        wrist_pos = bp_new[rows_w, self.wrist_id]
+        wrist_quat = bq_new[rows_w, self.wrist_id]
         racket_pos, racket_normal = self._racket(wrist_pos, wrist_quat)
         body_centers = body_radii = None
         if cfg.ball_body_contact:
@@ -923,10 +1061,9 @@ class TennisEnv:
             ).reshape(bp_new.shape)
             body_centers = bp_new + off
             body_radii = self.model.contact_radius[:, :24]
-            hand_id = S.MUJOCO_JOINT_NAMES.index(
-                "R_Hand" if self.spec.righthand else "L_Hand")
-            body_radii = body_radii.at[:, self.wrist_id].set(0.0) \
-                                   .at[:, hand_id].set(0.0)
+            rows = jnp.arange(body_radii.shape[0])
+            body_radii = body_radii.at[rows, self.wrist_id].set(0.0) \
+                                   .at[rows, self.hand_id].set(0.0)
         (ball_pos, ball_vel, ball_vspin, contact, bounce, bpos, contact_now,
          bounce_now, racket_vel, impulse) = self._ball_physics(
              state, racket_pos, racket_normal, body_centers, body_radii)

@@ -40,43 +40,76 @@ def evaluate(agent, num_epochs: int = 5, steps_per_epoch: Optional[int] = None,
 
 # ---- imitation ----------------------------------------------------------------
 
-def eval_imitation(agent, num_rollouts: int = 5, ts=None) -> Dict[str, float]:
-    """Deterministic rollouts of the imitation policy; aggregates the same
-    sub-reward decomposition the trainer logs (`humanoid_smpl_im.py:918-953`)."""
+def eval_imitation(agent, num_rollouts: int = 5, ts=None,
+                   full_episode: bool = True, max_steps: int = 288
+                   ) -> Dict[str, float]:
+    """Deterministic rollouts of the imitation policy.
+
+    `full_episode=True` (default) plays episodes to the motion's end — not
+    a fixed 32-step horizon — rebuilding the context window every
+    `context_length` steps exactly like the reference test player
+    (`im_player.py:237-247`; full-game eval `common_player.py:29-134`), and
+    reports per-episode reward/length, success rate (episode reached the
+    motion end rather than a tracking failure) and **MPJPE** — mean
+    per-joint position error in meters vs the reference motion — alongside
+    the trainer's sub-reward decomposition (`humanoid_smpl_im.py:918-953`)."""
+    from vid2player3d_tpu.data import motion_lib as ML
+    from vid2player3d_tpu.physics import engine
+
     env = agent.env
     ts = ts if ts is not None else agent.init_state()
-    horizon = agent.cfg.horizon
+    L = env.cfg.context_length if full_episode else agent.cfg.horizon
 
     @jax.jit
-    def rollout(key):
-        env_state, raw_obs, ctx = env.reset_all(key)
-        ctx_feat = ctx["feat"]
-
+    def run_segment(env_state, raw_obs, ctx_feat):
         def step_fn(carry, t):
             env_state, raw_obs = carry
             _, _, mu, _, _ = agent._forward(env, ts.params, ts.obs_norm,
                                             raw_obs, ctx_feat, t)
             alive = (env_state.reset_buf == 0).astype(jnp.float32)
+            tar = ML.get_motion_state(
+                env.lib, env.motion_ids, env_state.motion_times,
+                adjust_height=True,
+                ground_tolerance=env.cfg.ground_tolerance)
             env_state2, out = env.step(env_state, mu)
-            return (env_state2, out.obs), (out.reward, alive, out.sub_rewards)
+            bp, _, _, _ = engine.fk_world(env.model, env_state2.sim)
+            mpjpe = jnp.linalg.norm(bp - tar["rb_pos"], axis=-1).mean(-1)
+            return (env_state2, out.obs), (out.reward, alive, out.sub_rewards,
+                                           mpjpe, out.done, out.terminate)
 
-        _, (rew, alive, subs) = jax.lax.scan(
-            step_fn, (env_state, raw_obs), jnp.arange(horizon))
-        return rew, alive, subs
+        (env_state, raw_obs), rec = jax.lax.scan(
+            step_fn, (env_state, raw_obs), jnp.arange(L))
+        return env_state, raw_obs, rec
 
+    n_seg = max(1, (max_steps + L - 1) // L) if full_episode else 1
     keys = jax.random.split(jax.random.PRNGKey(1234), num_rollouts)
-    rews, alives, subss = [], [], []
+    recs = []
     for k in keys:
-        r, a, s = rollout(k)
-        rews.append(np.asarray(r)), alives.append(np.asarray(a))
-        subss.append(np.asarray(s))
-    rew = np.concatenate(rews)      # (R*T, N)
-    alive = np.concatenate(alives)
-    subs = np.concatenate(subss)    # (R*T, N, 4)
+        env_state, raw_obs, ctx = env.reset_all(k)
+        for _ in range(n_seg):
+            env_state, raw_obs, rec = run_segment(env_state, raw_obs,
+                                                  ctx["feat"])
+            recs.append([np.asarray(x) for x in rec])
+            if full_episode:
+                # context rebuilt between segments (`im_player.py:237-247`)
+                ctx = env.init_context(env_state.motion_times)
+            if not np.any(recs[-1][1]):
+                break   # every env finished its episode
+
+    rew, alive, subs, mpjpe, done, term = (
+        np.concatenate([r[i] for r in recs]) for i in range(6))
     denom = max(alive.sum(), 1.0)
+    done_ct = max(float((done * alive).sum()), 1.0)
     report = {
         "reward_mean": float((rew * alive).sum() / denom),
         "alive_ratio": float(alive.mean()),
+        "mpjpe": float((mpjpe * alive).sum() / denom),
+        "episode_len": float(alive.sum() / (num_rollouts * rew.shape[1])),
+        "episode_reward": float((rew * alive).sum()
+                                / (num_rollouts * rew.shape[1])),
+        # success = reached the motion's end, not a tracking failure
+        # (`embodied_pose/run.py:60-90` consecutive-success observer)
+        "success_rate": float((done * (1.0 - term) * alive).sum() / done_ct),
     }
     for i, name in enumerate(("r_dof", "r_vel", "r_pos", "r_rot")):
         if i < subs.shape[-1]:
@@ -273,23 +306,30 @@ def export_rollout(agent, path: str, num_steps: int = 150, ts=None) -> str:
     rec["body_radius"] = np.asarray(env.model.contact_radius[0, :24])
     rec["wrist_id"] = np.asarray(env.wrist_id)
 
-    if env.cfg.two_hand_backhand:
+    if env.any_two_hand:
         # post-hoc two-hand refinement of the recorded kinematics — the
         # reference's `fix_two_hand_backhand_post` applied at render time
         # (`mvae_controller_vis.py:181-190`, mask swing==2 & 2<phase<5) with
         # the batch-mode optimizer weights (`humanoid_smpl_im_mvae.py:975-980`).
         # The in-step fix already ran at few iterations; this polishes the
-        # exported frames at full iteration count.
+        # exported frames at full iteration count. Per lane: only two-handed
+        # lanes refine, each with its own handedness.
         from vid2player3d_tpu.tennis import twohand
 
         T, N = rec["phase"].shape
         mask = (rec["swing"] == 2) & (rec["phase"] > 2.0) & (rec["phase"] < 5.0)
+        mask &= np.asarray(env.two_hand_mask)[None]
         rest = np.broadcast_to(np.asarray(env.rest_joints_smpl)[None],
                                (T, N, 24, 3)).reshape(T * N, 24, 3)
-        rm = twohand.optimize_two_hand_backhand(
-            jnp.asarray(rec["joint_rotmat"].reshape(T * N, 24, 3, 3)),
-            jnp.asarray(rest), righthand=env.spec.righthand, iters=50,
-            mask=jnp.asarray(mask.reshape(T * N)))
+        rh_env = np.broadcast_to(np.asarray(env.righthand)[None], (T, N))
+        rm = jnp.asarray(rec["joint_rotmat"].reshape(T * N, 24, 3, 3))
+        for rh in sorted({bool(sp.righthand)
+                          for l, sp in enumerate(env._lane_specs)
+                          if env._lane_two_hand_flag(l)}):
+            m = mask & (rh_env == rh)
+            rm = twohand.optimize_two_hand_backhand(
+                rm, jnp.asarray(rest), righthand=rh, iters=50,
+                mask=jnp.asarray(m.reshape(T * N)))
         rec["joint_rotmat"] = np.asarray(rm).reshape(T, N, 24, 3, 3)
 
     np.savez_compressed(path, **rec)

@@ -52,11 +52,28 @@ class PPOConfig:
     normalize_advantage: bool = True
     obs_clip: float = 5.0
     # rl_games AdaptiveScheduler: per-minibatch lr *= / 1.5 keyed on the
-    # minibatch KL vs threshold ('constant' matches every shipped reference cfg)
-    lr_schedule: str = "constant"          # constant | adaptive
+    # minibatch KL vs threshold ('constant' matches every shipped reference
+    # cfg). 'linear' decays lr linearly over `lr_decay_epochs` to
+    # `lr_min_frac`·lr — the long-run recipe: round-3's 500-epoch constant-lr
+    # amass_im ended with per-epoch KL 0.138 / clip_frac 0.66 (updates
+    # saturating the clip); linear decay keeps late-training PPO ratios in
+    # range without the adaptive controller's min-lr stall on small configs
+    lr_schedule: str = "constant"          # constant | adaptive | linear
     kl_threshold: float = 0.008
     min_lr: float = 1e-6
     max_lr: float = 1e-2
+    lr_decay_epochs: int = 2000
+    lr_min_frac: float = 0.05
+    # multi-chip minibatch semantics. False: `minibatch_size` is GLOBAL —
+    # exact single-chip parity, but at the reference's minibatch 512 a
+    # dp-way mesh all-reduces gradients every 512/dp-sample step and epoch
+    # efficiency collapses (measured 0.32 at 4 chips). True: `minibatch_size`
+    # is PER CHIP — each shard consumes its own local minibatches, exactly
+    # the reference's Horovod data parallelism (each rank owns its envs and
+    # steps on LOCAL minibatches of 512 while gradients all-reduce,
+    # `common_agent.py:388-395`, `amp_datasets` local shuffling): dp× fewer,
+    # dp× larger optimizer steps, so the update phase scales ~linearly.
+    minibatch_per_chip: bool = False
     # network-side context pipeline (`im_network_builder.py:78-138`): IK the
     # (possibly corrupted) context joint positions with learned twist/leaf
     # residuals, consume the confidence channel, and supervise the IK
@@ -143,7 +160,9 @@ class ImitationPPO:
         self.mesh = mesh
         self.dp = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
         assert env.cfg.num_envs % self.dp == 0
-        assert cfg.minibatch_size % self.dp == 0
+        # global minibatches split across chips; per-chip minibatches are
+        # local by definition
+        assert cfg.minibatch_per_chip or cfg.minibatch_size % self.dp == 0
         self.num_actions = env.num_actions
         self.obs_dim = 734
 
@@ -179,9 +198,15 @@ class ImitationPPO:
                               dtype=jnp.float32)
 
         nbatch = env.cfg.num_envs * cfg.horizon
-        assert nbatch % cfg.minibatch_size == 0, \
-            f"batch {nbatch} not divisible by minibatch {cfg.minibatch_size}"
-        self.num_minibatches = nbatch // cfg.minibatch_size
+        if cfg.minibatch_per_chip:
+            local = nbatch // self.dp
+            assert local % cfg.minibatch_size == 0, \
+                f"local batch {local} not divisible by {cfg.minibatch_size}"
+            self.num_minibatches = local // cfg.minibatch_size
+        else:
+            assert nbatch % cfg.minibatch_size == 0, \
+                f"batch {nbatch} not divisible by minibatch {cfg.minibatch_size}"
+            self.num_minibatches = nbatch // cfg.minibatch_size
 
     def save_checkpoint(self, path: str, ts: TrainState) -> None:
         """Persist policy + running normalizers + optimizer state + schedule
@@ -547,7 +572,8 @@ class ImitationPPO:
                 batch_all[k2] = flat(traj[k2])
             del batch_all["obs"]  # train forward recomputes io from raw+ctx
 
-        mb_local = cfg.minibatch_size // dp
+        mb_local = cfg.minibatch_size if cfg.minibatch_per_chip \
+            else cfg.minibatch_size // dp
 
         def mini_epoch(carry, k):
             params, opt_state, lr = carry
@@ -584,8 +610,13 @@ class ImitationPPO:
             return (params, opt_state, lr), stats
 
         keys = jax.random.split(k_shuffle, cfg.mini_epochs)
+        lr0 = ts.lr
+        if cfg.lr_schedule == "linear":
+            lr0 = cfg.learning_rate * jnp.clip(
+                1.0 - ts.epoch.astype(jnp.float32) / cfg.lr_decay_epochs,
+                cfg.lr_min_frac, 1.0)
         (params, opt_state, lr), stats = jax.lax.scan(
-            mini_epoch, (ts.params, ts.opt_state, ts.lr), keys)
+            mini_epoch, (ts.params, ts.opt_state, lr0), keys)
 
         metrics = {k2: v.mean() for k2, v in stats.items()}
         metrics["reward_mean"] = (traj["reward"] * traj["alive"]).sum() / \

@@ -84,7 +84,9 @@ class V2PPPO:
         self.mesh = mesh
         self.dp = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
         assert env.cfg.num_envs % self.dp == 0
-        assert cfg.minibatch_size % self.dp == 0
+        # global minibatches split across chips; per-chip minibatches are
+        # local by definition
+        assert cfg.minibatch_per_chip or cfg.minibatch_size % self.dp == 0
         self.num_actions = env.num_actions
         self.obs_dim = env.obs_dim
         self.net = V2PNet(num_actions=self.num_actions,
@@ -110,8 +112,15 @@ class V2PPPO:
                               jnp.float32)
         self._key0 = key
         nbatch = env.cfg.num_envs * cfg.horizon
-        assert nbatch % cfg.minibatch_size == 0
-        self.num_minibatches = nbatch // cfg.minibatch_size
+        if cfg.minibatch_per_chip:
+            # reference Horovod semantics: each shard consumes its own local
+            # minibatches (`common_agent.py:388-395`)
+            local = nbatch // self.dp
+            assert local % cfg.minibatch_size == 0
+            self.num_minibatches = local // cfg.minibatch_size
+        else:
+            assert nbatch % cfg.minibatch_size == 0
+            self.num_minibatches = nbatch // cfg.minibatch_size
 
     def init_state(self, warm: Dict[str, Any] = None) -> V2PTrainState:
         """Fresh TrainState; `warm` (from `load_stage_checkpoint`'s loader)
@@ -349,7 +358,8 @@ class V2PPPO:
             return loss, dict(a_loss=a_loss, c_loss=c_loss, b_loss=b_loss,
                               kl=kl)
 
-        mb_local = cfg.minibatch_size // dp
+        mb_local = cfg.minibatch_size if cfg.minibatch_per_chip \
+            else cfg.minibatch_size // dp
 
         def mini_epoch(carry, k):
             params, opt_state, lr = carry
@@ -388,8 +398,13 @@ class V2PPPO:
             return (params, opt_state, lr), stats
 
         keys = jax.random.split(k_shuffle, cfg.mini_epochs)
+        lr0 = ts.lr
+        if cfg.lr_schedule == "linear":
+            lr0 = cfg.learning_rate * jnp.clip(
+                1.0 - ts.epoch.astype(jnp.float32) / cfg.lr_decay_epochs,
+                cfg.lr_min_frac, 1.0)
         (params, opt_state, lr), stats = jax.lax.scan(
-            mini_epoch, (ts.params, ts.opt_state, ts.lr), keys)
+            mini_epoch, (ts.params, ts.opt_state, lr0), keys)
 
         metrics = {k2: v.mean() for k2, v in stats.items()}
         metrics["reward_mean"] = traj["reward"].mean()

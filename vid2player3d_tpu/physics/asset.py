@@ -53,6 +53,33 @@ def smpl_to_world_rest(v: np.ndarray) -> np.ndarray:
     return v @ _R_BASE.T
 
 
+def default_self_collision_pairs(names) -> tuple:
+    """Curated humanoid self-collision pair list (contact-sphere indices;
+    sphere j of the first 24 belongs to body j).
+
+    The reference enables humanoid self-collision via per-shape PhysX filter
+    bitmasks (`humanoid_smpl_im_mvae.py:388-417`, asset XML contact defs) —
+    everything collides except parent/child. A penalty engine pays per pair
+    every substep, so we keep the pairs that matter behaviorally: the arms
+    (elbow/wrist/hand) against the trunk (torso/spine/chest/head) and the
+    thighs, and the two arms against each other — the cases where a swing
+    or a crossover step would otherwise pass limbs through the body."""
+    arms = [f"{s}_{p}" for s in ("L", "R") for p in ("Elbow", "Wrist", "Hand")]
+    trunk = ["Torso", "Spine", "Chest", "Head", "L_Hip", "R_Hip",
+             "L_Knee", "R_Knee"]
+    idx = {n: i for i, n in enumerate(names)}
+    pairs = []
+    for a in arms:
+        for t in trunk:
+            pairs.append((idx[a], idx[t]))
+    for a in ("L_Elbow", "L_Wrist", "L_Hand"):
+        for b in ("R_Elbow", "R_Wrist", "R_Hand"):
+            pairs.append((idx[a], idx[b]))
+    # knees against each other (crossover steps)
+    pairs.append((idx["L_Knee"], idx["R_Knee"]))
+    return tuple(pairs)
+
+
 def build_humanoid_model(
     smpl_model: S.SMPLModel,
     betas: np.ndarray,
@@ -60,6 +87,7 @@ def build_humanoid_model(
     scale: Optional[np.ndarray] = None,
     kp_scale: float = 1.0,
     kd_scale: float = 1.0,
+    self_collision: bool = False,
 ) -> ArticulationModel:
     """betas (N, 10) [+ optional per-env scale (N,)] → ArticulationModel with
     per-env joint offsets / masses / inertias / contact spheres.
@@ -170,6 +198,8 @@ def build_humanoid_model(
     return ArticulationModel(
         parents=tuple(parents_mj.tolist()),
         names=names,
+        collision_pairs=default_self_collision_pairs(names)
+        if self_collision else (),
         joint_pos=jnp.asarray(joint_pos),
         body_com=jnp.asarray(body_com),
         body_mass=jnp.asarray(body_mass),

@@ -159,6 +159,8 @@ def _model_soa(model: ArticulationModel) -> Dict:
         contact_body=np.asarray(model.contact_body, dtype=np.int32),
         contact_offset=_slab(model.contact_offset),   # v3 slab (P, N)
         contact_radius=_tJ(model.contact_radius),     # (P, N)
+        pair_i=np.asarray([p[0] for p in model.collision_pairs], np.int32),
+        pair_j=np.asarray([p[1] for p in model.collision_pairs], np.int32),
     )
     # spatial inertia blocks about body origin, body frame (state-independent)
     msoa["I_sp"] = soa.sp_inertia(msoa["body_mass"], msoa["body_com"],
@@ -257,7 +259,8 @@ def fk_world(model: ArticulationModel, state: ArticulationState):
 def _contacts_soa(msoa: Dict, pos, quat, lin, ang, params: ContactParams,
                   f_w, t_w):
     """Accumulate ground-plane penalty contact wrenches into the dense world
-    wrench slabs (f_w, t_w) (`humanoid_smpl.py:735-743`)."""
+    wrench slabs (f_w, t_w) (`humanoid_smpl.py:735-743`), plus sphere-sphere
+    self-collision over the model's static pair list."""
     cb = msoa["contact_body"]
     off_w = soa.q_rotate(_g(quat, cb), msoa["contact_offset"])
     c_w = soa.v_add(_g(pos, cb), off_w)
@@ -273,7 +276,39 @@ def _contacts_soa(msoa: Dict, pos, quat, lin, ang, params: ContactParams,
     sc = -ft_mag / jnp.maximum(vt_norm, params.vt_eps)
     f_c = (v_c[0] * sc, v_c[1] * sc, fn)
     t_c = soa.v_cross(off_w, f_c)
-    return _sadd(f_w, cb, f_c), _sadd(t_w, cb, t_c)
+    f_w, t_w = _sadd(f_w, cb, f_c), _sadd(t_w, cb, t_c)
+
+    if len(msoa["pair_i"]):
+        f_w, t_w = _self_contacts_soa(msoa, cb, off_w, c_w, v_c, params,
+                                      f_w, t_w)
+    return f_w, t_w
+
+
+def _self_contacts_soa(msoa: Dict, cb, off_w, c_w, v_c,
+                       params: ContactParams, f_w, t_w):
+    """Sphere-sphere penalty contacts over the static curated pair list —
+    the TPU analogue of the reference's PhysX self-collision filter masks
+    (`humanoid_smpl_im_mvae.py:388-417`): arms deflect off the trunk instead
+    of passing through. Pure (K, N) slab math; K ~ 55 pairs, negligible next
+    to ABA."""
+    pi, pj = msoa["pair_i"], msoa["pair_j"]
+    d = soa.v_sub(_g(c_w, pi), _g(c_w, pj))
+    dist = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
+    n = tuple(c / jnp.maximum(dist, 1e-6) for c in d)
+    pen = (msoa["contact_radius"][pi] + msoa["contact_radius"][pj]) - dist
+    active = pen > 0.0
+    dv = soa.v_sub(_g(v_c, pi), _g(v_c, pj))
+    vn = dv[0] * n[0] + dv[1] * n[1] + dv[2] * n[2]
+    # softer than the ground plane: body "flesh" compresses; damping keeps
+    # the stiff PD arms from chattering against the trunk
+    fn = jnp.maximum(0.5 * params.kn * pen - params.dn * vn, 0.0) * active
+    f = tuple(fn * c for c in n)
+    f_neg = soa.v_neg(f)
+    bi, bj = cb[pi], cb[pj]
+    f_w = _sadd(_sadd(f_w, bi, f), bj, f_neg)
+    t_w = _sadd(_sadd(t_w, bi, soa.v_cross(_g(off_w, pi), f)),
+                bj, soa.v_cross(_g(off_w, pj), f_neg))
+    return f_w, t_w
 
 
 # ---------------------------------------------------------------------------

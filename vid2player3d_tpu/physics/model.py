@@ -39,6 +39,11 @@ class ArticulationModel:
       contact_body:   tuple of body ids, length P
       contact_offset: (N, P, 3) body-frame offsets
       contact_radius: (N, P)
+    Self-collision (static):
+      collision_pairs: tuple of (sphere_i, sphere_j) CONTACT-SPHERE index
+        pairs checked for sphere-sphere penetration each substep — the
+        penalty analogue of the reference's PhysX collision-filter bitmasks
+        (`humanoid_smpl_im_mvae.py:388-417`); empty = self-collision off
     """
 
     parents: Tuple[int, ...]
@@ -54,17 +59,20 @@ class ArticulationModel:
     contact_body: Tuple[int, ...]
     contact_offset: jnp.ndarray
     contact_radius: jnp.ndarray
+    collision_pairs: Tuple[Tuple[int, int], ...] = ()
 
     def tree_flatten(self):
         arrays = (self.joint_pos, self.body_com, self.body_mass, self.body_inertia,
                   self.kp, self.kd, self.torque_lim, self.armature,
                   self.contact_offset, self.contact_radius)
-        return arrays, (self.parents, self.names, self.contact_body)
+        return arrays, (self.parents, self.names, self.contact_body,
+                        self.collision_pairs)
 
     @classmethod
     def tree_unflatten(cls, aux, arrays):
-        parents, names, contact_body = aux
-        return cls(parents, names, *arrays[:8], contact_body, *arrays[8:])
+        parents, names, contact_body, collision_pairs = aux
+        return cls(parents, names, *arrays[:8], contact_body, *arrays[8:],
+                   collision_pairs=collision_pairs)
 
     @property
     def num_bodies(self) -> int:

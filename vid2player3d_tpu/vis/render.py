@@ -122,8 +122,9 @@ function draw() {{
     for (const [ctx2, proj, sc] of [[top, pt, 22], [sideC, ps, 40]]) {{
       ctx2.strokeStyle = '#ff8080'; ctx2.lineWidth = 2;
       const q = proj(r[0], r[1], r[2]);
-      if (WRIST >= 0) {{          // handle: wrist -> head center
-        const w = proj(J0[WRIST][0], J0[WRIST][1], J0[WRIST][2]);
+      const WID = Array.isArray(WRIST) ? WRIST[D.envs[env]] : WRIST;
+      if (WID >= 0) {{            // handle: wrist -> head center
+        const w = proj(J0[WID][0], J0[WID][1], J0[WID][2]);
         lines(ctx2, [w, q]);
       }}
       ctx2.beginPath(); ctx2.arc(q[0], q[1], 0.15 * sc, 0, 7); ctx2.stroke();
@@ -187,7 +188,10 @@ def render_html(rollout, out_path: str,
     if "body_radius" in rollout:
         data["body_radius"] = rnd(np.asarray(rollout["body_radius"]))
     if "wrist_id" in rollout:
-        data["wrist_id"] = int(np.asarray(rollout["wrist_id"]))
+        w = np.asarray(rollout["wrist_id"])
+        # per-env array (dual rallies mix handedness) or legacy scalar
+        data["wrist_id"] = [int(x) for x in np.atleast_1d(w)] \
+            if w.ndim else int(w)
     if ball is not None:
         data["ball"] = rnd(np.asarray(ball)[:max_frames][:, env_ids])
     if racket is not None:
