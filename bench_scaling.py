@@ -118,15 +118,21 @@ print(json.dumps(dict(ok=bool(ok), n_devices={n_dev},
 
 
 def roofline(n_chips: int, num_envs_per_chip: int = 4096, horizon: int = 32,
-             minibatch_per_chip: int = 512, mini_epochs: int = 6) -> dict:
-    """Weak-scaling efficiency estimate: envs per chip fixed, minibatch
-    scaled with the mesh (the standard DP recipe — keeping the reference's
-    GLOBAL minibatch fixed while adding chips multiplies gradient
-    all-reduces and is allreduce-bound for any backend, Horovod included).
+             minibatch_per_chip: int = 512, mini_epochs: int = 6,
+             dp_sync: str = "per_minibatch") -> dict:
+    """Weak-scaling efficiency estimate: envs per chip fixed, each shard
+    consuming its own local minibatches (`minibatch_per_chip=True`, the
+    reference's Horovod recipe).
 
-    Gradient all-reduce per minibatch step: ~4.65M f32 params (actor+critic
-    1024-1024-512 MLPs over 734-dim obs) -> ring all-reduce moves
-    2·(n-1)/n·bytes per chip, unoverlapped (a lower bound on efficiency)."""
+    dp_sync:
+      - "per_minibatch": gradients all-reduce every optimizer step
+        (Horovod-exact, `common_agent.py:388-395`) — ~4.65M f32 params
+        (actor+critic 1024-1024-512 MLPs over 734-dim obs) per step, ring
+        all-reduce 2·(n-1)/n·bytes per chip, unoverlapped (lower bound).
+      - "per_mini_epoch": local SGD (`PPOConfig.dp_sync`) — params + bf16
+        Adam moments average once per mini-epoch: 6 all-reduce sets per
+        epoch instead of ~1536, which is what makes the SHIPPED amass_im
+        minibatch 512 efficient at scale."""
     grad_bytes = 4.65e6 * 4
     env_steps = num_envs_per_chip * horizon          # per chip per epoch
     t_rollout = env_steps / SINGLE_CHIP_STEPS_PER_S
@@ -143,12 +149,18 @@ def roofline(n_chips: int, num_envs_per_chip: int = 4096, horizon: int = 32,
         t_comm = 0.0
     else:
         ring = 2.0 * (n_chips - 1) / n_chips
-        t_comm = n_mb * grad_bytes * ring / ICI_BYTES_PER_S
+        if dp_sync == "per_mini_epoch":
+            # params f32 + both Adam moments bf16, once per mini-epoch
+            sync_bytes = grad_bytes + 2 * (grad_bytes / 2)
+            t_comm = mini_epochs * sync_bytes * ring / ICI_BYTES_PER_S
+        else:
+            t_comm = n_mb * grad_bytes * ring / ICI_BYTES_PER_S
         # per-epoch stat reductions are ~KB — negligible, included for form
         t_comm += 64e3 / ICI_BYTES_PER_S
     t1 = t_rollout + t_update
     eff_epoch = t1 / (t1 + t_comm)
     return dict(n_chips=n_chips, minibatch_per_chip=minibatch_per_chip,
+                dp_sync=dp_sync,
                 rollout_efficiency=1.0,   # zero collectives in the rollout
                 epoch_efficiency=round(eff_epoch, 4),
                 t_rollout_s=round(t_rollout, 4),
@@ -170,10 +182,15 @@ def main():
         "scaling — efficiencies below are ICI rooflines from measured "
         "single-chip timings")
 
-    # two regimes: the reference's tiny low-level minibatch (allreduce-bound
-    # for any DP backend) and the production/high-level minibatch (16384,
-    # the stage YAMLs' value) where DP is compute-bound
+    # three regimes: Horovod-exact per-minibatch sync at the reference's
+    # tiny low-level minibatch (allreduce-bound for any DP backend — the
+    # reference's own strategy rooflines at ~0.3), the local-SGD
+    # per-mini-epoch sync that rescues the SHIPPED hyperparameters
+    # (PPOConfig.dp_sync="per_mini_epoch"), and the production high-level
+    # minibatch (16384) where even per-minibatch sync is compute-bound
     points = [roofline(n, minibatch_per_chip=512) for n in (1, 4, 8, 16)] \
+        + [roofline(n, minibatch_per_chip=512, dp_sync="per_mini_epoch")
+           for n in (1, 4, 8, 16)] \
         + [roofline(n, minibatch_per_chip=16384) for n in (1, 4, 8, 16)]
     report["roofline"] = points
     for p in points:

@@ -85,3 +85,28 @@ def test_per_chip_minibatch_semantics(cpu_mesh):
     ts = agent.init_state()
     ts, m = agent.train_epoch(ts)
     assert all(np.isfinite(float(v)) for v in m.values()), m
+
+
+@pytest.mark.slow
+def test_local_sgd_per_mini_epoch_sync(cpu_mesh):
+    """dp_sync='per_mini_epoch' (local SGD): shards step on their own
+    minibatches and average params+moments once per mini-epoch — the DP
+    strategy that keeps the SHIPPED amass_im hyperparameters efficient at
+    multi-chip scale (6 all-reduces/epoch instead of ~1536). Metrics finite,
+    learning direction preserved."""
+    from vid2player3d_tpu.data.synthetic import make_synthetic_motion_lib
+    from vid2player3d_tpu.envs import HumanoidImConfig, HumanoidImEnv
+    from vid2player3d_tpu.learn import ImitationPPO, PPOConfig
+
+    lib = make_synthetic_motion_lib(num_motions=2, T=30, fps=30.0, seed=0)
+    env = HumanoidImEnv(HumanoidImConfig(num_envs=16, substeps=2), lib,
+                        rng=0).shard(cpu_mesh)
+    agent = ImitationPPO(
+        env, PPOConfig(horizon=4, minibatch_size=4, mini_epochs=2,
+                       minibatch_per_chip=True, dp_sync="per_mini_epoch",
+                       learning_rate=1e-4, lr_schedule="constant"),
+        seed=7, mesh=cpu_mesh)
+    ts = agent.init_state()
+    for _ in range(2):
+        ts, m = agent.train_epoch(ts)
+        assert all(np.isfinite(float(v)) for v in m.values()), m
