@@ -231,6 +231,20 @@ _register(_tennis(
     CONFIGS["federer_train_stage_1"].v2p,
 ))
 
+# serve practice: the serve-toss ball init + reach reward — exercises the
+# phase-gated toss + overhead strike path (`create_ball_state_for_serve`,
+# humanoid_smpl_im_mvae.py:526-560) from a shipped config
+_register(_tennis(
+    "federer_train_serve",
+    "Serve practice: serve-toss ball init, reach reward (the reference's "
+    "serve logic is exercised by the dual cfgs' serve_from handling; here "
+    "a dedicated single-player stage)",
+    dataclasses.replace(_STAGE1_ENV, init_ball_type="serve_toss",
+                        num_envs=10240),
+    CONFIGS["federer_train_stage_1"].v2p,
+    warm_start="federer_train_stage_1",
+))
+
 # dual-player rally configs (federer_djokovic.yaml, nadal_federer.yaml):
 # TWO player identities — per-lane MVAE/handedness/residual tables/π_low,
 # and the two-hand backhand flag set for the two-handed player of the pair
