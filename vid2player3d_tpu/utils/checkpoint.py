@@ -21,6 +21,17 @@ import jax
 import numpy as np
 
 
+def _decode(arr: np.ndarray) -> np.ndarray:
+    """Checkpoints written before the bf16→f32 save conversion contain raw
+    2-byte void leaves (npz cannot represent ml_dtypes.bfloat16) — recover
+    them by reinterpreting the bytes."""
+    if arr.dtype.kind == "V" and arr.dtype.itemsize == 2:
+        import ml_dtypes
+
+        return arr.view(ml_dtypes.bfloat16)
+    return arr
+
+
 def _flatten(tree: Any) -> Dict[str, np.ndarray]:
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
@@ -56,7 +67,8 @@ def load_pytree(path: str, like: Any) -> Any:
         key = "/".join(
             str(getattr(p, "key", getattr(p, "idx", getattr(p, "name", p))))
             for p in path_keys)
-        out.append(np.asarray(data[key]).astype(np.asarray(leaf).dtype))
+        out.append(_decode(np.asarray(data[key])).astype(
+            np.asarray(leaf).dtype))
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
@@ -89,7 +101,7 @@ def load_pytree_with_surgery(path: str, like: Any,
         if key not in data.files:
             out.append(tgt)  # brand-new parameter: keep fresh init
             continue
-        src = np.asarray(data[key])
+        src = _decode(np.asarray(data[key]))
         if src.ndim == tgt.ndim - 1 and tgt.ndim >= 1:
             src = np.repeat(src[None], tgt.shape[0], axis=0)
         if src.shape != tgt.shape:
