@@ -79,16 +79,26 @@ def main():
 
     # 2. low-level imitation on the converted real-format data
     im_out = os.path.join(out, "federer_im")
+    for stale in (os.path.join(im_out, "metrics.jsonl"),
+                  os.path.join(out, "metrics.jsonl")):
+        if os.path.exists(stale):
+            os.remove(stale)   # MetricsLogger appends; reports must cover
+                               # exactly this run
     rc = cli(["--cfg", "federer_im", "--motion_file", lib_path,
               "--num_envs", "16", "--horizon", "8", "--minibatch_size", "32",
               "--lr", "1e-4", "--lr_schedule", "constant",
-              "--epochs", "30", "--seed", "1", "--out", im_out])
+              "--epochs", "150", "--seed", "1", "--out", im_out])
     assert rc == 0
     rows = [json.loads(l) for l in open(os.path.join(im_out, "metrics.jsonl"))]
-    report["imitation"] = {"epochs": len(rows),
-                           "reward_first": round(rows[0]["reward_mean"], 4),
-                           "reward_last": round(rows[-1]["reward_mean"], 4),
-                           "alive_last": round(rows[-1]["alive_ratio"], 4)}
+    import numpy as _np
+    r = [row["reward_mean"] for row in rows]
+    report["imitation"] = {
+        "epochs": len(rows),
+        "reward_first": round(r[0], 4),
+        "reward_first10_mean": round(float(_np.mean(r[:10])), 4),
+        "reward_last10_mean": round(float(_np.mean(r[-10:])), 4),
+        "reward_last": round(r[-1], 4),
+        "alive_last": round(rows[-1]["alive_ratio"], 4)}
     print("[2/5] imitation:", report["imitation"], flush=True)
 
     # 3. MVAE pre-run smoke (trains 5 epochs + random-walk rollout metrics)

@@ -231,6 +231,23 @@ _register(_tennis(
     CONFIGS["federer_train_stage_1"].v2p,
 ))
 
+# stage-1 warm-up leg: identical task, WIDER reach-reward basin (pos scale
+# 0.5 instead of 5.0, phase 1.0 instead of 10.0). The reference's scales
+# give ~zero gradient beyond ~1 m from the ball, which its A100-scale
+# training absorbs by brute force; on one chip the wide basin first pulls
+# the racket into range, then `federer_train_stage_1` (warm-started from
+# this) tightens to the reference's exact objective.
+_register(_tennis(
+    "federer_train_stage_1a",
+    "Stage-1 warm-up: reach reward with a wide distance basin "
+    "(single-chip curriculum aid; anneal back via federer_train_stage_1)",
+    dataclasses.replace(_STAGE1_ENV,
+                        reward_scales=(("pos", 0.5), ("phase", 1.0),
+                                       ("bounce_pos", 1.0),
+                                       ("bounce_time", 0.5))),
+    CONFIGS["federer_train_stage_1"].v2p,
+))
+
 # serve practice: the serve-toss ball init + reach reward — exercises the
 # phase-gated toss + overhead strike path (`create_ball_state_for_serve`,
 # humanoid_smpl_im_mvae.py:526-560) from a shipped config
