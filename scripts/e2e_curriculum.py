@@ -99,7 +99,25 @@ def main():
         "reward_last10_mean": round(float(_np.mean(r[-10:])), 4),
         "reward_last": round(r[-1], 4),
         "alive_last": round(rows[-1]["alive_ratio"], 4)}
-    print("[2/5] imitation:", report["imitation"], flush=True)
+    # deterministic full-episode eval (reward curves above carry
+    # exploration noise; at 16-128-env fixture scale noisy-PPO drift makes
+    # them decline even while the deterministic policy stays at PD parity —
+    # the slow-tier test_pi_low proves real learning at scale)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli(["--cfg", "federer_im", "--motion_file", lib_path,
+                  "--num_envs", "16", "--test", "--epochs", "2",
+                  "--seed", "1", "--out", im_out])
+    assert rc == 0
+    ev = json.loads(buf.getvalue()[buf.getvalue().index("{"):])
+    report["imitation_eval"] = {k: round(ev[k], 4) for k in
+                                ("reward_mean", "mpjpe", "episode_len",
+                                 "success_rate") if k in ev}
+    print("[2/5] imitation:", report["imitation"],
+          report["imitation_eval"], flush=True)
 
     # 3. MVAE pre-run smoke (trains 5 epochs + random-walk rollout metrics)
     mvae_out = os.path.join(out)

@@ -33,7 +33,7 @@ def agent():
 
 @pytest.mark.slow
 def test_eval_tennis_per_cycle_stats(agent):
-    report, stats_pe = eval_tennis(agent, num_steps=40, per_env=True)
+    report, stats_pe = eval_tennis(agent, num_steps=100, per_env=True)
     assert report["cycles"] >= 1  # at least one swing cycle finished
     for k in ("hit_rate", "bounce_in_rate", "fh_ratio"):
         assert 0.0 <= report[k] <= 1.0

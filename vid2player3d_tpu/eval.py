@@ -73,7 +73,10 @@ def eval_imitation(agent, num_rollouts: int = 5, ts=None,
                 ground_tolerance=env.cfg.ground_tolerance)
             env_state2, out = env.step(env_state, mu)
             bp, _, _, _ = engine.fk_world(env.model, env_state2.sim)
+            # dead envs can hold non-finite sim states; NaN·0 would poison
+            # the alive-masked mean, so zero them explicitly
             mpjpe = jnp.linalg.norm(bp - tar["rb_pos"], axis=-1).mean(-1)
+            mpjpe = jnp.where((alive > 0) & jnp.isfinite(mpjpe), mpjpe, 0.0)
             return (env_state2, out.obs), (out.reward, alive, out.sub_rewards,
                                            mpjpe, out.done, out.terminate)
 
