@@ -183,8 +183,10 @@ def eval_tennis(agent, num_steps: int = 300, per_env: bool = False, ts=None):
         "cycles": int(n_cyc.sum()),
         "hit_rate": float(hit_pe[valid].mean()) if valid.any() else 0.0,
         "bounce_in_rate": float(in_pe[valid].mean()) if valid.any() else 0.0,
+        # None (JSON null), not NaN: "no in-balls recorded" must stay valid
+        # strict JSON in reports
         "bounce_pos_error": float(err_pe[n_in > 0].mean())
-            if (n_in > 0).any() else float("nan"),
+            if (n_in > 0).any() else None,
         "fh_ratio": float(fh_pe[valid].mean()) if valid.any() else 0.0,
         "reward_mean": float(rec["reward"].mean()),
     }
