@@ -87,3 +87,28 @@ def test_lowmem_adam_matches_optax():
                                    atol=1e-6)
         np.testing.assert_allclose(np.asarray(u1[k]), np.asarray(u3[k]),
                                    rtol=0.02, atol=1e-6)
+
+
+def test_linear_lr_schedule_decays():
+    """lr_schedule='linear' (long-run trust-region hygiene, VERDICT r03
+    #10): the effective lr reported per epoch decays linearly with the
+    epoch counter down to lr_min_frac."""
+    from vid2player3d_tpu.data.synthetic import make_synthetic_motion_lib
+    from vid2player3d_tpu.envs import HumanoidImConfig, HumanoidImEnv
+    from vid2player3d_tpu.learn import ImitationPPO, PPOConfig
+
+    lib = make_synthetic_motion_lib(num_motions=2, T=30, fps=30.0, seed=0)
+    env = HumanoidImEnv(HumanoidImConfig(num_envs=8, substeps=2), lib, rng=0)
+    agent = ImitationPPO(
+        env, PPOConfig(horizon=4, minibatch_size=16, mini_epochs=1,
+                       learning_rate=1e-4, lr_schedule="linear",
+                       lr_decay_epochs=4, lr_min_frac=0.1), seed=7)
+    ts = agent.init_state()
+    lrs = []
+    for _ in range(6):
+        ts, m = agent.train_epoch(ts)
+        lrs.append(float(m["lr"]))
+    # epochs 0..5 -> factors 1.0, .775, .55, .325, .1, .1
+    assert abs(lrs[0] - 1e-4) < 1e-9
+    assert lrs[0] > lrs[1] > lrs[2] > lrs[3]
+    assert abs(lrs[4] - 1e-5) < 1e-9 and abs(lrs[5] - 1e-5) < 1e-9

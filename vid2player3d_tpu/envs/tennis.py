@@ -246,11 +246,14 @@ class TennisEnv:
              jnp.asarray(betas, jnp.float32)], axis=-1)
         if isinstance(init_conditions, (tuple, list)):
             assert len(init_conditions) == len(specs)
-            counts = {np.asarray(c).shape[0] for c in init_conditions}
-            assert len(counts) == 1, "per-lane init sets must be same-sized"
-            self._init_per_lane = counts.pop()
+            # lanes may bring different-sized init sets (e.g. one trained
+            # MVAE checkpoint + one synthetic fallback): trim to the common
+            # size so the per-lane slices stay rectangular
+            k = min(np.asarray(c).shape[0] for c in init_conditions)
+            self._init_per_lane = k
             init_conditions = np.concatenate(
-                [np.asarray(c, np.float32) for c in init_conditions], axis=0)
+                [np.asarray(c, np.float32)[:k] for c in init_conditions],
+                axis=0)
         else:
             self._init_per_lane = np.asarray(init_conditions).shape[0]
         self.init_conditions = jnp.asarray(init_conditions, jnp.float32)

@@ -73,12 +73,17 @@ def eval_imitation(agent, num_rollouts: int = 5, ts=None,
                 ground_tolerance=env.cfg.ground_tolerance)
             env_state2, out = env.step(env_state, mu)
             bp, _, _, _ = engine.fk_world(env.model, env_state2.sim)
-            # dead envs can hold non-finite sim states; NaN·0 would poison
-            # the alive-masked mean, so zero them explicitly
+            # dead/diverging envs can hold non-finite OR finite-but-huge sim
+            # states (the env's magnitude latch zeroes obs, not positions);
+            # both would poison the mean — mask them out with their own
+            # denominator (same 1e3-meter magnitude-latch idea)
             mpjpe = jnp.linalg.norm(bp - tar["rb_pos"], axis=-1).mean(-1)
-            mpjpe = jnp.where((alive > 0) & jnp.isfinite(mpjpe), mpjpe, 0.0)
+            m_ok = ((alive > 0) & jnp.isfinite(mpjpe)
+                    & (mpjpe < 1e3)).astype(jnp.float32)
+            mpjpe = jnp.where(m_ok > 0, mpjpe, 0.0)
             return (env_state2, out.obs), (out.reward, alive, out.sub_rewards,
-                                           mpjpe, out.done, out.terminate)
+                                           mpjpe, m_ok, out.done,
+                                           out.terminate)
 
         (env_state, raw_obs), rec = jax.lax.scan(
             step_fn, (env_state, raw_obs), jnp.arange(L))
@@ -99,14 +104,14 @@ def eval_imitation(agent, num_rollouts: int = 5, ts=None,
             if not np.any(recs[-1][1]):
                 break   # every env finished its episode
 
-    rew, alive, subs, mpjpe, done, term = (
-        np.concatenate([r[i] for r in recs]) for i in range(6))
+    rew, alive, subs, mpjpe, m_ok, done, term = (
+        np.concatenate([r[i] for r in recs]) for i in range(7))
     denom = max(alive.sum(), 1.0)
     done_ct = max(float((done * alive).sum()), 1.0)
     report = {
         "reward_mean": float((rew * alive).sum() / denom),
         "alive_ratio": float(alive.mean()),
-        "mpjpe": float((mpjpe * alive).sum() / denom),
+        "mpjpe": float(mpjpe.sum() / max(m_ok.sum(), 1.0)),
         "episode_len": float(alive.sum() / (num_rollouts * rew.shape[1])),
         "episode_reward": float((rew * alive).sum()
                                 / (num_rollouts * rew.shape[1])),
