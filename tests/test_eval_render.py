@@ -33,8 +33,15 @@ def agent():
 
 @pytest.mark.slow
 def test_eval_tennis_per_cycle_stats(agent):
-    report, stats_pe = eval_tennis(agent, num_steps=100, per_env=True)
-    assert report["cycles"] >= 1  # at least one swing cycle finished
+    # num_steps must exceed the fixture's max_episode_length (50): physics
+    # rollouts are chaotic, so compile-environment float differences (cache
+    # state, fusion choices) legitimately change WHEN a cycle completes —
+    # the round-4 flake at num_steps=40 was exactly this. At >=51 steps the
+    # bound is structural, not numerical: every env reaches done by step 50
+    # and a done-while-in-reaction counts as a finished (missed) cycle, so
+    # cycles >= 1 holds for any trajectory realization.
+    report, stats_pe = eval_tennis(agent, num_steps=60, per_env=True)
+    assert report["cycles"] >= 1  # structurally guaranteed, see above
     for k in ("hit_rate", "bounce_in_rate", "fh_ratio"):
         assert 0.0 <= report[k] <= 1.0
     assert stats_pe["hit_rate"].shape == (4,)

@@ -133,3 +133,46 @@ def test_fk_chain_pallas_matches_plain():
     np.testing.assert_allclose(np.asarray(k_pos), np.asarray(p_pos),
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(k_rm), np.asarray(p_rm), atol=2e-5)
+
+
+def test_fused_adam_parity_with_optax_chain():
+    """ops/fused_adam.py (Pallas interpret mode + plain fallback) must match
+    clip_by_global_norm -> scale_by_adam_lowmem -> p -= lr*step exactly:
+    the PPO minibatch scan swaps in the fused kernel on TPU
+    (`learn/ppo.py::mb_step`), so semantics parity is load-bearing."""
+    import optax
+
+    from vid2player3d_tpu.learn.optim import scale_by_adam_lowmem
+    from vid2player3d_tpu.ops.fused_adam import fused_clip_adam_apply
+
+    key = jax.random.PRNGKey(3)
+    params = {
+        "w": jax.random.normal(key, (16, 128)),            # pallas-aligned
+        "b": jax.random.normal(jax.random.fold_in(key, 1), (69,)),  # plain
+    }
+    tx = optax.chain(optax.clip_by_global_norm(0.5),
+                     scale_by_adam_lowmem(eps=1e-8))
+    opt_state = tx.init(params)
+    fused_state = tx.init(params)[1]
+    # the fused call aliases params/moments in-place (input_output_aliases —
+    # donation semantics); the two paths need independent buffers
+    p_ref = jax.tree_util.tree_map(jnp.copy, params)
+    p_fused = jax.tree_util.tree_map(jnp.copy, params)
+    lr = 3e-3
+    for i in range(4):
+        grads = jax.tree_util.tree_map(
+            lambda p: jax.random.normal(jax.random.fold_in(key, 10 + i),
+                                        p.shape) * (1.0 + i),
+            params)
+        up, opt_state = tx.update(grads, opt_state, p_ref)
+        p_ref = optax.apply_updates(
+            p_ref, jax.tree_util.tree_map(lambda u: -lr * u, up))
+        p_fused, fused_state = fused_clip_adam_apply(
+            p_fused, fused_state, grads, lr, 0.5, interpret=True)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(p_fused[k]),
+                                   np.asarray(p_ref[k]), atol=3e-6, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(fused_state.mu["w"], np.float32),
+        np.asarray(opt_state[1].mu["w"], np.float32), atol=1e-6)
+    assert int(fused_state.count) == 4

@@ -315,7 +315,7 @@ def test_racket_constants_produce_plausible_returns():
     out_vel = racket_vel + rel - (1.0 + cfg.racket_restitution) * vn * normal
     tang = rel - vn * normal
     out_spin = jnp.clip(cfg.spin_gain * jnp.linalg.norm(tang, axis=-1),
-                        0.0, 10.0)
+                        0.0, cfg.spin_cap)
     res = B.simulate_flight(pos, out_vel, out_spin, num_frames=90)
     passed = np.asarray(res.pass_net)
     bounced = np.asarray(res.has_bounce)

@@ -55,7 +55,10 @@ def test_racket_contact_kinematics(seq, skel):
         if not fg:
             continue
         assert normal[f] @ np.array([0.0, 1.0, 0.0]) > 0.85, f
-        assert 1.0 < speed[f - 1] < 6.0, (f, speed[f - 1])
+        # contact-speed swings (round-5): the forward swing is keyed in
+        # seconds so the head strikes at broadcast stroke speed — fast
+        # enough that the return clears the net (scripts/swing_quality.py)
+        assert 6.0 < speed[f - 1] < 25.0, (f, speed[f - 1])
         assert 0.5 < racket[f, 2] < 1.9
 
 

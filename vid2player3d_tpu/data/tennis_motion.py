@@ -242,15 +242,33 @@ def sample_cycles(rng: np.random.Generator, n_cycles: int,
     return out
 
 
-def _contact_frames(swing: int, righthand: bool, rng) -> Tuple[np.ndarray, np.ndarray]:
+# racket-face elevation range at contact (z of the unit aim direction):
+# tuned with scripts/swing_quality.py so a well-timed strike clears the net
+# AND Magnus topspin brings it down inside the court
+AIM_ELEVATION = (0.20, 0.36)
+
+
+def _contact_frames(swing: int, righthand: bool, rng,
+                    contact_x: float = 0.0,
+                    contact_z: float = 1.1) -> Tuple[np.ndarray, np.ndarray]:
     """Racket dir/normal at contact (world, right-handed convention —
-    mirrored later for lefties): fh extends to +x, bh to -x; face toward the
-    net, tilted slightly down (topspin brush)."""
+    mirrored later for lefties): fh extends to +x, bh to -x; face aimed at
+    the net, slightly open, biased back toward the court center from wide
+    contact positions."""
     side = 1.0 if swing == 1 else -1.0
-    d = _normalize(np.array([side, rng.uniform(0.1, 0.35),
-                             rng.uniform(-0.1, 0.2)]))
-    n = np.array([0.0, 1.0, rng.uniform(-0.25, 0.05)])
-    n = _normalize(n - np.sum(n * d) * d)
+    # The face NORMAL is chosen first and exactly — it is the aim of the
+    # shot under the env's restitution reflection (`envs/tennis.py::
+    # _ball_physics`): slightly OPEN (tilted up) so a descending incoming
+    # ball is lifted over the net, biased back toward the court center from
+    # wide contacts. The shaft direction d is then orthogonalized against
+    # it (lateral-ish, fh +x / bh -x) — orthogonalizing the other way
+    # around used to bleed ~0.1 off the realized normal_z and put 40% of
+    # well-struck returns into the net.
+    aim_x = rng.uniform(-0.12, 0.12) - 0.06 * contact_x
+    aim_z = rng.uniform(*AIM_ELEVATION)
+    n = _normalize(np.array([aim_x, 1.0, aim_z]))
+    d0 = np.array([side, rng.uniform(-0.05, 0.15), rng.uniform(-0.1, 0.2)])
+    d = _normalize(d0 - np.sum(d0 * n) * n)
     return d, n
 
 
@@ -260,11 +278,14 @@ class _ArmPath:
     contact at `tc` (= n_in / (n_in + n_rec))."""
 
     def __init__(self, cp: CycleParams, tc: float, reach: float,
-                 rng: np.random.Generator):
+                 rng: np.random.Generator, fps: float = 30.0,
+                 speed: float = 1.0):
         fh = cp.swing == 1
         side = 1.0 if fh else -1.0
         cz = cp.contact[2]
-        d_c, n_c = _contact_frames(cp.swing, True, rng)
+        d_c, n_c = _contact_frames(cp.swing, True, rng,
+                                   contact_x=float(cp.contact[0]),
+                                   contact_z=float(cp.contact[2]))
         wrist_c = -d_c * reach          # contact-relative wrist position
         j = lambda s: rng.uniform(-s, s)
 
@@ -272,16 +293,33 @@ class _ArmPath:
         # exactly through it); ready positions relative to the root are
         # handled by the caller blending with the ready pose
         # keys: ready | backswing start | loaded | CONTACT | early/late
-        # follow-through | settled; the first two are fractions of the
-        # incoming interval [0, tc], the rest of the recovery [tc, 1]
-        self.t_keys = np.array([0.0, 0.55 * tc, 0.82 * tc, tc,
-                                tc + 0.10, tc + 0.22, 1.0])
-        back = np.array([side * (0.35 + j(0.1)) - d_c[0] * reach,
-                         -0.95 + j(0.15), cz * 0.4 + j(0.1) - 0.35])
-        load = np.array([side * (0.45 + j(0.1)) - d_c[0] * reach,
-                         -0.75 + j(0.1), cz * 0.2 - 0.45 + j(0.1)])
-        follow = np.array([-side * 0.45 + j(0.15), 0.75 + j(0.15),
-                           0.35 + j(0.15)])
+        # follow-through | settled.
+        #
+        # The forward swing (loaded -> contact -> early follow-through) is
+        # keyed in SECONDS, not cycle fractions: a real stroke accelerates
+        # through contact in ~0.15 s regardless of how long the incoming
+        # ball flies, and with Catmull-Rom tangents the speed at the contact
+        # knot is |P_follow_early - P_load| / (t_fe - t_load) — the distance
+        # and window below set the racket head to ~10-18 m/s at contact
+        # (broadcast-video stroke speeds), vs ~3 m/s when these knots were
+        # fractions of a 4-5 s cycle (round-4 swings never cleared the net).
+        T_s = (cp.n_in + cp.n_rec) / fps              # cycle length, seconds
+        sp = float(speed)
+        dt_back = rng.uniform(0.42, 0.58) / T_s
+        dt_load = (rng.uniform(0.13, 0.18) / sp) / T_s
+        dt_fe = (rng.uniform(0.07, 0.10) / sp) / T_s
+        dt_fol = rng.uniform(0.26, 0.34) / T_s
+        t_back = max(tc - dt_back, 0.35 * tc)
+        t_load = max(tc - dt_load, 0.5 * (t_back + tc))
+        t_fe = min(tc + dt_fe, 1.0 - 0.02)
+        t_fol = min(tc + dt_fol, 0.5 * (t_fe + 1.0))
+        self.t_keys = np.array([0.0, t_back, t_load, tc, t_fe, t_fol, 1.0])
+        back = np.array([side * (0.5 + j(0.1)) - d_c[0] * reach,
+                         -1.05 * sp + j(0.15), cz * 0.4 + j(0.1) - 0.4])
+        load = np.array([side * (0.55 + j(0.1)) - d_c[0] * reach,
+                         -(0.95 * sp) + j(0.1), cz * 0.2 - 0.5 + j(0.1)])
+        follow = np.array([-side * (0.5 + j(0.15)), 0.75 + 0.35 * sp + j(0.15),
+                           0.4 + j(0.15)])
         settle = np.array([-side * 0.2, 0.35, -0.1])
         ready = np.array([side * 0.3, 0.3, cz * 0.0 - 0.2])
         self.wrist_keys = np.stack([
@@ -316,7 +354,8 @@ def generate_rally_sequence(rng: np.random.Generator,
                             skel: Optional[Skeleton] = None,
                             n_cycles: int = 6,
                             fps: float = 30.0,
-                            noise: float = 0.03
+                            noise: float = 0.03,
+                            swing_speed: float = 1.0
                             ) -> Dict:
     """One fg-player rally: returns {joint_pos (T,24,3), joint_rotmat
     (T,24,3,3), hits [(frame, is_fg), ...]} in the video-dataset convention
@@ -346,7 +385,7 @@ def generate_rally_sequence(rng: np.random.Generator,
     sho_off_w = R_ROOT0 @ skel.rest[R_SHOULDER]   # root->shoulder, world
     for c, b in zip(cycles, bounds[:-1]):
         tc_local = c.n_in / (c.n_in + c.n_rec)
-        ap = _ArmPath(c, tc_local, reach, rng)
+        ap = _ArmPath(c, tc_local, reach, rng, fps=fps, speed=swing_speed)
         arm_paths.append(ap)
         side = 1.0 if c.swing == 1 else -1.0
         # place the root so the contact wrist target sits at ~93% of full
@@ -552,11 +591,34 @@ def mirror_sequence(seq: Dict) -> Dict:
 # dataset emission (video-dataset format)
 # ---------------------------------------------------------------------------
 
+def measure_head_speed(seq: Dict, skel: Optional[Skeleton] = None,
+                       fps: float = 30.0, righthand: bool = True):
+    """Racket-head speed (m/s, central difference) at each annotated fg hit
+    frame of a generated sequence — the 'do the synthetic swings strike?'
+    diagnostic. Head = wrist + dir * reach with the canonical grip dir
+    mapped to the wrist frame's -x column (`_solve_arm`)."""
+    skel = skel or Skeleton.from_smpl()
+    reach = grip_arrays("eastern")[2]
+    rot = seq["joint_rotmat"].astype(np.float64)
+    root = seq["joint_pos"][:, 0].astype(np.float64)
+    pw, Rw = skel.fk(rot, root)
+    wri = R_WRIST if righthand else L_WRIST
+    sgn = 1.0 if righthand else -1.0
+    head = pw[:, wri] - sgn * Rw[:, wri, :, 0] * reach
+    vel = np.zeros_like(head)
+    vel[1:-1] = (head[2:] - head[:-2]) * (0.5 * fps)
+    speeds = np.linalg.norm(vel, axis=-1)
+    hit_f = np.array([f for f, fg in seq["hits"] if fg], int)
+    hit_f = hit_f[(hit_f > 0) & (hit_f < len(speeds) - 1)]
+    return speeds[hit_f], speeds
+
+
 def generate_tennis_dataset(out_dir: str, num_sequences: int = 64,
                             cycles_per_seq: int = 6, seed: int = 0,
                             player: str = "Federer",
                             righthand: bool = True,
-                            smpl_model=None) -> str:
+                            smpl_model=None,
+                            swing_speed: float = 1.0) -> str:
     """Write a synthetic rally dataset in the reference's video-dataset
     layout (manifest + flat npys + hit keyframes; `mvae/dataset.py::
     load_video_dataset`). One manifest video per sequence, all fg-side."""
@@ -566,7 +628,8 @@ def generate_tennis_dataset(out_dir: str, num_sequences: int = 64,
     skel = Skeleton.from_smpl(smpl_model)
     videos = []
     for i in range(num_sequences):
-        seq = generate_rally_sequence(rng, skel, n_cycles=cycles_per_seq)
+        seq = generate_rally_sequence(rng, skel, n_cycles=cycles_per_seq,
+                                      swing_speed=swing_speed)
         if not righthand:
             seq = mirror_sequence(seq)
         T = seq["joint_pos"].shape[0]
@@ -595,7 +658,8 @@ def generate_tennis_dataset(out_dir: str, num_sequences: int = 64,
 
 def tennis_motion_lib(num_sequences: int = 32, cycles_per_seq: int = 5,
                       seed: int = 0, righthand: bool = True,
-                      smpl_model=None, out_path: Optional[str] = None):
+                      smpl_model=None, out_path: Optional[str] = None,
+                      swing_speed: float = 1.0):
     """Generated rallies → `MotionLib` for LOW-LEVEL imitation fine-tuning —
     the analog of the reference's player-specific tennis-motion stage
     (`djokovic_im.yaml`, README.md:86-89): π_low fine-tunes on the same
@@ -611,7 +675,8 @@ def tennis_motion_lib(num_sequences: int = 32, cycles_per_seq: int = 5,
     betas = np.zeros(10, np.float32)
     j0 = skel.rest[0]
     for _ in range(num_sequences):
-        seq = generate_rally_sequence(rng, skel, n_cycles=cycles_per_seq)
+        seq = generate_rally_sequence(rng, skel, n_cycles=cycles_per_seq,
+                                      swing_speed=swing_speed)
         if not righthand:
             seq = mirror_sequence(seq)
         rot = seq["joint_rotmat"].astype(np.float64)
@@ -639,12 +704,24 @@ def _main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--player", default="Federer")
     p.add_argument("--lefthand", action="store_true")
+    p.add_argument("--swing_speed", type=float, default=1.0,
+                   help="forward-swing speed scale (1.0 ~ 10-18 m/s racket "
+                        "head at contact)")
     a = p.parse_args(argv)
     out = generate_tennis_dataset(
         a.out_dir, num_sequences=a.num_sequences,
         cycles_per_seq=a.cycles_per_seq, seed=a.seed, player=a.player,
-        righthand=not a.lefthand)
-    print(f"wrote {out}")
+        righthand=not a.lefthand, swing_speed=a.swing_speed)
+    # report the contact-speed diagnostic on a fresh probe sequence
+    rng = np.random.default_rng(a.seed + 977)
+    skel = Skeleton.from_smpl()
+    hs = np.concatenate([
+        measure_head_speed(generate_rally_sequence(
+            rng, skel, swing_speed=a.swing_speed), skel)[0]
+        for _ in range(8)])
+    print(f"wrote {out}  head_speed@contact m/s: "
+          f"mean={hs.mean():.1f} p50={np.median(hs):.1f} "
+          f"p10={np.percentile(hs, 10):.1f} p90={np.percentile(hs, 90):.1f}")
 
 
 if __name__ == "__main__":

@@ -108,9 +108,15 @@ class TennisConfig:
     court_max: Tuple[float, float] = (5.0, -10.0)
     target_bounce_min: Tuple[float, float, float] = (-3.0, 7.0, 0.0)
     target_bounce_max: Tuple[float, float, float] = (3.0, 11.0, 0.0)
-    # racket-ball contact model (TPU equivalent of PhysX shape contact)
-    racket_restitution: float = 0.9
-    spin_gain: float = 0.15     # rev/s per m/s tangential racket speed
+    # racket-ball contact model (TPU equivalent of PhysX shape contact).
+    # restitution ~0.8 = stringbed COR; spin_gain 2.5 rev/s per m/s
+    # tangential relative speed with a 40 rev/s cap matches broadcast
+    # topspin (~2400 rpm) — tuned with scripts/swing_quality.py so a
+    # 10-13 m/s contact-speed swing returns the ball inside the court
+    # (the round-4 values 0.9/0.15 left returns flat + long: bounce_in 0)
+    racket_restitution: float = 0.8
+    spin_gain: float = 2.5      # rev/s per m/s tangential relative speed
+    spin_cap: float = 40.0      # rev/s
     # the reference's racket is two geoms WELDED to the wrist (no joint,
     # `smpl_mesh_humanoid_federer.xml:188-191`: 0.35 m handle cylinder
     # density 500 + 0.15 m head disc density 150 ≈ 0.59 kg at up to 0.5 m
@@ -829,14 +835,26 @@ class TennisEnv:
             vel = vel + acc * dt
             pos_new = pos + vel * dt
 
-            # racket contact: ball near interpolated racket head, incoming,
-            # during reaction, at most one contact per cycle
+            # racket contact: swept sphere-sphere closest approach over the
+            # substep (true CCD — at 10-15 m/s contact-speed swings the
+            # relative motion per substep exceeds the detection sphere, so
+            # an endpoint-distance check tunnels). Ball moves pos->pos_new,
+            # racket head r_pos0->r_pos1; both linear within the substep, so
+            # the minimum separation is a 1-D quadratic in t.
+            alpha0 = i / cfg.substeps
             alpha = (i + 1.0) / cfg.substeps
+            r_pos0 = r_prev + alpha0 * (r_new - r_prev)
             r_pos = r_prev + alpha * (r_new - r_prev)
-            d = pos_new - r_pos
-            dist = jnp.linalg.norm(d, axis=-1)
+            d0 = pos - r_pos0
+            d1 = pos_new - r_pos
+            dd = d1 - d0
+            denom = jnp.sum(dd * dd, axis=-1)
+            t_min = jnp.clip(-jnp.sum(d0 * dd, axis=-1)
+                             / jnp.maximum(denom, 1e-12), 0.0, 1.0)
+            d_close = d0 + t_min[:, None] * dd
+            dist = jnp.linalg.norm(d_close, axis=-1)
             rel_vel = vel - racket_vel
-            approaching = jnp.sum(rel_vel * d, axis=-1) < 0
+            approaching = jnp.sum(rel_vel * d0, axis=-1) < 0
             hit = ((dist < self.racket_head_radius + p.radius + 0.02)
                    & approaching & ~contact & (state.tar_action == 1))
             # reflect relative velocity about the racket normal
@@ -846,7 +864,7 @@ class TennisEnv:
             tangential = refl - jnp.sum(refl * racket_normal, axis=-1,
                                         keepdims=True) * racket_normal
             out_spin = jnp.clip(cfg.spin_gain * jnp.linalg.norm(
-                tangential, axis=-1), 0.0, 10.0)
+                tangential, axis=-1), 0.0, cfg.spin_cap)
             # contact impulse on the ball; its negative reacts on the racket
             # next step (PhysX two-way coupling, humanoid_smpl_im_mvae.py:367-442)
             imp = imp + jnp.where(hit[:, None],
@@ -1133,7 +1151,15 @@ class TennisEnv:
         # terminates and re-resets next step)
         has_nan = ~jnp.all(jnp.isfinite(obs) & (jnp.abs(obs) < 1e6), axis=-1)
         obs = jnp.where(has_nan[:, None], 0.0, obs)
-        terminate = out_of_court | has_nan
+        # ball-state divergence guard (VERDICT r04 weak #3): a missed ball
+        # integrates ballistically without bound — km-scale excursions are
+        # finite, below the 1e6 obs latch, and poison distance metrics and
+        # value targets. Terminate once the ball leaves any plausible play
+        # volume (the reference's PhysX arena implicitly bounds this).
+        ball_gone = ((jnp.abs(ball_pos[:, 0]) > 20.0)
+                     | (jnp.abs(ball_pos[:, 1]) > 25.0)
+                     | (ball_pos[:, 2] > 20.0))
+        terminate = out_of_court | has_nan | ball_gone
 
         in_reaction = new_state.tar_action == 1   # pre-transition role
         ball_passed = (ball_pos[:, 1] < root_pos[:, 1] - 1.0) & in_reaction
@@ -1212,9 +1238,15 @@ class TennisEnv:
             "swing_bh": (cycle_end
                          & (new_state.mvae.swing_type_cycle >= 2)).astype(f32),
             "in_reaction": in_reaction.astype(f32),
+            # court-gated + clamped (VERDICT r04 weak #3): only frames where
+            # the ball is actually in play near this court answer "is the
+            # racket getting closer?" — unbounded post-miss flights used to
+            # swamp the mean (7947 m spikes). The learner reports
+            # median/P90 over the valid set, not a mean.
             "racket_ball_dist": jnp.where(
-                in_reaction,
-                jnp.linalg.norm(ball_pos - racket_pos, axis=-1), 0.0),
+                in_reaction & ~ball_gone,
+                jnp.minimum(jnp.linalg.norm(ball_pos - racket_pos, axis=-1),
+                            30.0), jnp.nan),
         }
 
         return new_state, StepOutput(

@@ -100,6 +100,14 @@ class PPOConfig:
     # the epoch ~8:1 at reference minibatch 512, so this is the main
     # total_fps lever (VERDICT r02 #2).
     compute_dtype: str = "auto"            # auto | f32 | bf16
+    # single Pallas kernel per leaf for clip+Adam+apply (ops/fused_adam.py):
+    # one read-modify-write VMEM pass over params+moments+grads per
+    # minibatch step instead of the optax chain's separate stages — the
+    # measured 71.9 us/step optimizer overhead (PROFILE.md) is mostly HBM
+    # traffic on exactly these arrays. "auto" = on for TPU, off elsewhere
+    # (interpret-mode Pallas on CPU is slow; semantics are identical and
+    # covered by tests/test_ops.py parity tests).
+    fused_optimizer: str = "auto"          # auto | on | off
 
 
 @jax.tree_util.register_pytree_node_class
@@ -197,6 +205,17 @@ class ImitationPPO:
             optax.clip_by_global_norm(cfg.grad_norm),
             _make_adam(cfg.compute_dtype),
         )
+        if cfg.fused_optimizer == "on":
+            self._use_fused = True
+        elif cfg.fused_optimizer == "off":
+            self._use_fused = False
+        else:   # auto: the Pallas kernel targets TPU; interpret mode is slow
+            try:
+                dev = jax.config.jax_default_device
+                plat = dev.platform if dev is not None else jax.default_backend()
+            except Exception:
+                plat = "cpu"
+            self._use_fused = plat == "tpu"
         self._init = TrainState(
             params=params,
             opt_state=self.tx.init(params),
@@ -618,9 +637,20 @@ class ImitationPPO:
                 mb = _take_mb(perm, i)
                 (loss, stats), grads = jax.value_and_grad(
                     self._loss, has_aux=True)(params, mb, obs_norm, self.sigma)
-                updates, opt_state = self.tx.update(grads, opt_state, params)
-                updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
-                params = optax.apply_updates(params, updates)
+                if self._use_fused:
+                    # single Pallas read-modify-write pass over
+                    # params+moments (ops/fused_adam.py); opt_state is the
+                    # optax.chain tuple (clip EmptyState, ScaleByAdamState)
+                    from ..ops.fused_adam import fused_clip_adam_apply
+                    params, adam_state = fused_clip_adam_apply(
+                        params, opt_state[1], grads, lr, cfg.grad_norm)
+                    opt_state = (opt_state[0], adam_state)
+                else:
+                    updates, opt_state = self.tx.update(grads, opt_state,
+                                                        params)
+                    updates = jax.tree_util.tree_map(lambda u: -lr * u,
+                                                     updates)
+                    params = optax.apply_updates(params, updates)
                 return (params, opt_state, _adapt_lr(lr, stats["kl"])), stats
 
             (params, opt_state, lr), stats = jax.lax.scan(

@@ -422,7 +422,6 @@ class V2PPPO:
         if ex:
             n_cyc = ex["cycle_end"].sum()
             n_contact = ex["contact_now"].sum()
-            n_react = ex["in_reaction"].sum()
             metrics["cycles"] = n_cyc
             metrics["hit_rate"] = ex["cycle_hit"].sum() / jnp.maximum(n_cyc, 1)
             metrics["contact_rate"] = ex["contact_now"].mean()
@@ -430,8 +429,12 @@ class V2PPPO:
                 ex["contact_est_in"].sum() / jnp.maximum(n_contact, 1)
             metrics["fh_ratio"] = ex["swing_fh"].sum() / jnp.maximum(n_cyc, 1)
             metrics["bh_ratio"] = ex["swing_bh"].sum() / jnp.maximum(n_cyc, 1)
-            metrics["racket_ball_dist"] = \
-                ex["racket_ball_dist"].sum() / jnp.maximum(n_react, 1)
+            # median + P90 over in-reaction, court-gated frames (NaN marks
+            # invalid frames; a mean over unbounded post-miss flights was
+            # uninterpretable — VERDICT r04 weak #3)
+            rbd = ex["racket_ball_dist"]
+            metrics["racket_ball_dist"] = jnp.nanmedian(rbd)
+            metrics["racket_ball_dist_p90"] = jnp.nanpercentile(rbd, 90.0)
 
         new_ts = V2PTrainState(
             params=params, opt_state=opt_state, obs_norm=obs_norm_next,
