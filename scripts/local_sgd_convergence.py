@@ -1,0 +1,113 @@
+"""Local-SGD convergence evidence (VERDICT r04 next #7).
+
+`dp_sync="per_mini_epoch"` (local SGD: shards step Adam on their own
+minibatches, params+moments average once per mini-epoch) is the shipped
+answer to multi-chip scaling — it rooflines >=0.98 where the reference's
+Horovod-exact per-minibatch all-reduce sits at 0.24-0.32
+(`MULTICHIP_scaling.json`). But it CHANGES optimization semantics vs the
+reference (`embodied_pose/learning/common_agent.py:388-395` steps Adam on
+every rank-local minibatch with summed gradients), so the roofline number is
+only safe to recommend if local SGD actually converges like the synchronous
+mode on a real workload.
+
+This script runs the amass_im imitation task (synthetic motion lib — the
+same fixture family as the committed `artifacts/amass_im_500ep` curve) on a
+4-shard CPU mesh under both sync modes with identical seeds and
+hyperparameters, to convergence scale (hundreds of epochs), and writes:
+
+    artifacts/local_sgd/per_minibatch.jsonl
+    artifacts/local_sgd/per_mini_epoch.jsonl
+    artifacts/local_sgd/report.json   (final/mean rewards + verdict)
+
+Usage: python scripts/local_sgd_convergence.py [EPOCHS] [NUM_ENVS]
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + \
+    " --xla_force_host_platform_device_count=4"
+
+import jax  # noqa: E402
+
+from vid2player3d_tpu.utils.runtime import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
+import numpy as np  # noqa: E402
+
+
+def run_mode(dp_sync: str, epochs: int, num_envs: int, out_path: str):
+    from vid2player3d_tpu.data.synthetic import make_synthetic_motion_lib
+    from vid2player3d_tpu.envs import HumanoidImConfig, HumanoidImEnv
+    from vid2player3d_tpu.learn import ImitationPPO, PPOConfig
+    from vid2player3d_tpu.parallel import data_parallel_mesh
+
+    mesh = data_parallel_mesh(4)
+    lib = make_synthetic_motion_lib(num_motions=8, T=120, fps=30.0, seed=0)
+    env = HumanoidImEnv(HumanoidImConfig(num_envs=num_envs, substeps=2),
+                        lib, rng=0).shard(mesh)
+    # reference amass_im update semantics scaled to the fixture: several
+    # sequential minibatch Adam steps per mini-epoch per shard so the two
+    # sync modes genuinely diverge in optimizer trajectory
+    agent = ImitationPPO(
+        env, PPOConfig(horizon=16, minibatch_size=64, mini_epochs=6,
+                       minibatch_per_chip=True, dp_sync=dp_sync,
+                       learning_rate=5e-5, lr_schedule="constant"),
+        seed=7, mesh=mesh)
+    ts = agent.init_state()
+    rows = []
+    t0 = time.time()
+    with open(out_path, "w") as f:
+        for e in range(1, epochs + 1):
+            ts, m = agent.train_epoch(ts)
+            row = {"epoch": e,
+                   **{k: float(v) for k, v in m.items()},
+                   "wall_s": round(time.time() - t0, 2)}
+            rows.append(row)
+            f.write(json.dumps(row) + "\n")
+            f.flush()
+            if e % 20 == 0 or e == 1:
+                print(f"[{dp_sync}] epoch {e}/{epochs} "
+                      f"reward {row['reward_mean']:.4f}", flush=True)
+    return rows
+
+
+def main():
+    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+    num_envs = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    out = os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                       "local_sgd")
+    os.makedirs(out, exist_ok=True)
+    report = {"epochs": epochs, "num_envs": num_envs, "dp": 4,
+              "config": "amass_im semantics (horizon 16, mb 64/chip, "
+                        "6 mini-epochs, lr 5e-5 constant)"}
+    for mode in ("per_minibatch", "per_mini_epoch"):
+        rows = run_mode(mode, epochs, num_envs,
+                        os.path.join(out, f"{mode}.jsonl"))
+        r = [x["reward_mean"] for x in rows]
+        report[mode] = {
+            "reward_first10_mean": round(float(np.mean(r[:10])), 4),
+            "reward_last20_mean": round(float(np.mean(r[-20:])), 4),
+            "reward_best": round(float(np.max(r)), 4),
+            "alive_last": round(rows[-1].get("alive_ratio", float("nan")), 4),
+        }
+    a = report["per_minibatch"]["reward_last20_mean"]
+    b = report["per_mini_epoch"]["reward_last20_mean"]
+    report["final_reward_ratio_local_over_sync"] = round(b / max(a, 1e-9), 4)
+    report["verdict"] = (
+        "local SGD matches synchronous training on this workload"
+        if b >= a - 0.02 else
+        "local SGD converges WORSE than synchronous on this workload — "
+        "prefer per_minibatch when accuracy matters; the 0.98 roofline "
+        "number carries this caveat")
+    with open(os.path.join(out, "report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -28,11 +28,17 @@ from vid2player3d_tpu.data.tennis_motion import (  # noqa: E402
     Skeleton, generate_rally_sequence, grip_arrays, R_WRIST)
 from vid2player3d_tpu.tennis import ball as B  # noqa: E402
 
+from vid2player3d_tpu.envs.tennis import TennisConfig  # noqa: E402
+
 COURT_HALF_LEN = 11.885
 COURT_HALF_W = 4.115
 NET_H = 0.914
-RACKET_RESTITUTION = 0.9   # envs/tennis.py TennisConfig
-SPIN_GAIN = 0.15
+# the environment's actual stringbed contact constants — the probe is only
+# meaningful if it applies envs/tennis.py::_ball_physics math verbatim
+_CFG = TennisConfig()
+RACKET_RESTITUTION = _CFG.racket_restitution
+SPIN_GAIN = _CFG.spin_gain
+SPIN_CAP = _CFG.spin_cap
 
 
 def collect_contacts(n_seq: int, swing_speed: float, seed: int):
@@ -80,7 +86,7 @@ def main():
             refl = rel - (1.0 + RACKET_RESTITUTION) * vn * nrm
         out_v = rvel + refl
         tang = refl - (refl @ nrm) * nrm
-        out_spin = min(SPIN_GAIN * np.linalg.norm(tang), 10.0)
+        out_spin = min(SPIN_GAIN * np.linalg.norm(tang), SPIN_CAP)
         pos0.append(cpos)
         vel0.append(out_v)
         spin0.append(out_spin)

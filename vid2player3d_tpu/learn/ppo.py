@@ -102,12 +102,15 @@ class PPOConfig:
     compute_dtype: str = "auto"            # auto | f32 | bf16
     # single Pallas kernel per leaf for clip+Adam+apply (ops/fused_adam.py):
     # one read-modify-write VMEM pass over params+moments+grads per
-    # minibatch step instead of the optax chain's separate stages — the
-    # measured 71.9 us/step optimizer overhead (PROFILE.md) is mostly HBM
-    # traffic on exactly these arrays. "auto" = on for TPU, off elsewhere
-    # (interpret-mode Pallas on CPU is slow; semantics are identical and
-    # covered by tests/test_ops.py parity tests).
-    fused_optimizer: str = "auto"          # auto | on | off
+    # minibatch step instead of the optax chain's separate stages. Measured
+    # on the real v5e chip (amass_im scale, 4096 envs, minibatch 512): the
+    # per-leaf kernel is SLOWER than the XLA-fused optax chain — 0.611
+    # s/epoch vs 0.464 (214k vs 282k total_fps) — the ~16 kernel launches
+    # per minibatch step cost more than the HBM traffic they save, and XLA
+    # already fuses the optax stages into few passes. "auto" therefore
+    # resolves to OFF everywhere; "on" keeps the kernel reachable
+    # (semantics are bit-identical, tests/test_ops.py parity tests).
+    fused_optimizer: str = "auto"          # auto(=off) | on | off
 
 
 @jax.tree_util.register_pytree_node_class
@@ -205,17 +208,9 @@ class ImitationPPO:
             optax.clip_by_global_norm(cfg.grad_norm),
             _make_adam(cfg.compute_dtype),
         )
-        if cfg.fused_optimizer == "on":
-            self._use_fused = True
-        elif cfg.fused_optimizer == "off":
-            self._use_fused = False
-        else:   # auto: the Pallas kernel targets TPU; interpret mode is slow
-            try:
-                dev = jax.config.jax_default_device
-                plat = dev.platform if dev is not None else jax.default_backend()
-            except Exception:
-                plat = "cpu"
-            self._use_fused = plat == "tpu"
+        # auto resolves to OFF: measured slower than the XLA-fused optax
+        # chain on the real chip (see PPOConfig.fused_optimizer comment)
+        self._use_fused = cfg.fused_optimizer == "on"
         self._init = TrainState(
             params=params,
             opt_state=self.tx.init(params),

@@ -100,6 +100,19 @@ def random_walk_metrics(spec: "P.MVAEPlayerSpec", init_feature_raw,
     # root motion sanity
     report["root_speed"] = float(
         np.linalg.norm(np.diff(root[..., :2], axis=0), axis=-1).mean() * 30.0)
+
+    # swing speed: does the latent space DECODE contact-speed swings?
+    # (VERDICT r04 missing #3: a 10-15 m/s racket head needs ~8-11 m/s at
+    # the wrist; an MVAE whose random-walk wrist never exceeds a few m/s
+    # cannot produce a returning strike no matter what PPO does.) p99/max
+    # over frames x envs of the world wrist speed.
+    rw = SMPL_BONE_ORDER_NAMES.index("R_Wrist") - 1
+    wrist = root[:, :, None] + joints[:, :, (rw,)]             # (T,N,1,3)
+    wspeed = np.linalg.norm(np.diff(wrist[..., 0, :], axis=0),
+                            axis=-1) * 30.0                    # (T-1,N) m/s
+    report["wrist_speed_mean"] = float(wspeed.mean())
+    report["wrist_speed_p99"] = float(np.percentile(wspeed, 99))
+    report["wrist_speed_max"] = float(wspeed.max())
     return report
 
 
