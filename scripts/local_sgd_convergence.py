@@ -10,10 +10,10 @@ every rank-local minibatch with summed gradients), so the roofline number is
 only safe to recommend if local SGD actually converges like the synchronous
 mode on a real workload.
 
-This script runs the amass_im imitation task (synthetic motion lib — the
-same fixture family as the committed `artifacts/amass_im_500ep` curve) on a
-4-shard CPU mesh under both sync modes with identical seeds and
-hyperparameters, to convergence scale (hundreds of epochs), and writes:
+This script runs the amass_im imitation task (hard sinusoidal AMASS
+fixture through the real converter — the probe-validated workload with
+genuine learning headroom) on a 4-shard CPU mesh under both sync modes
+with identical seeds and hyperparameters, and writes:
 
     artifacts/local_sgd/per_minibatch.jsonl
     artifacts/local_sgd/per_mini_epoch.jsonl
@@ -40,14 +40,41 @@ enable_compile_cache()
 import numpy as np  # noqa: E402
 
 
+_LIB_PATH = None
+
+
+def _hard_fixture_lib():
+    """Hard sinusoidal AMASS fixture (amp 0.3-0.8 rad) via the real
+    converter — the probe-validated workload where the imitation leg
+    GENUINELY learns (+~7%/200 epochs at 64 envs; the default synthetic
+    lib starts at PD parity, so a convergence comparison on it would be
+    vacuous)."""
+    global _LIB_PATH
+    if _LIB_PATH is None:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from probe_e2e_im import write_fixture
+
+        from vid2player3d_tpu.core import smpl as S
+        from vid2player3d_tpu.data.amass import convert_amass_dir
+
+        d = "/tmp/local_sgd_fixture"
+        write_fixture(d, 0.3, 0.8)
+        lib = convert_amass_dir(d, smpl_model=S.make_synthetic_smpl(),
+                                target_fps=30.0)
+        _LIB_PATH = os.path.join(d, "lib.npz")
+        lib.save(_LIB_PATH)
+    from vid2player3d_tpu.data.motion_lib import MotionLib
+
+    return MotionLib.load(_LIB_PATH)
+
+
 def run_mode(dp_sync: str, epochs: int, num_envs: int, out_path: str):
-    from vid2player3d_tpu.data.synthetic import make_synthetic_motion_lib
     from vid2player3d_tpu.envs import HumanoidImConfig, HumanoidImEnv
     from vid2player3d_tpu.learn import ImitationPPO, PPOConfig
     from vid2player3d_tpu.parallel import data_parallel_mesh
 
     mesh = data_parallel_mesh(4)
-    lib = make_synthetic_motion_lib(num_motions=8, T=120, fps=30.0, seed=0)
+    lib = _hard_fixture_lib()
     env = HumanoidImEnv(HumanoidImConfig(num_envs=num_envs, substeps=2),
                         lib, rng=0).shard(mesh)
     # reference amass_im update semantics scaled to the fixture: several
@@ -56,7 +83,7 @@ def run_mode(dp_sync: str, epochs: int, num_envs: int, out_path: str):
     agent = ImitationPPO(
         env, PPOConfig(horizon=16, minibatch_size=64, mini_epochs=6,
                        minibatch_per_chip=True, dp_sync=dp_sync,
-                       learning_rate=5e-5, lr_schedule="constant"),
+                       learning_rate=1e-4, lr_schedule="constant"),
         seed=7, mesh=mesh)
     ts = agent.init_state()
     rows = []
@@ -77,14 +104,14 @@ def run_mode(dp_sync: str, epochs: int, num_envs: int, out_path: str):
 
 
 def main():
-    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 150
     num_envs = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     out = os.path.join(os.path.dirname(__file__), "..", "artifacts",
                        "local_sgd")
     os.makedirs(out, exist_ok=True)
     report = {"epochs": epochs, "num_envs": num_envs, "dp": 4,
-              "config": "amass_im semantics (horizon 16, mb 64/chip, "
-                        "6 mini-epochs, lr 5e-5 constant)"}
+              "config": "hard fixture, amass_im semantics (horizon 16, "
+                        "mb 64/chip, 6 mini-epochs, lr 1e-4 constant)"}
     for mode in ("per_minibatch", "per_mini_epoch"):
         rows = run_mode(mode, epochs, num_envs,
                         os.path.join(out, f"{mode}.jsonl"))

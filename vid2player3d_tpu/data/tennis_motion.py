@@ -680,7 +680,22 @@ def tennis_motion_lib(num_sequences: int = 32, cycles_per_seq: int = 5,
         if not righthand:
             seq = mirror_sequence(seq)
         rot = seq["joint_rotmat"].astype(np.float64)
+        pos = seq["joint_pos"]
+        # pad to 128-frame buckets by repeating the final frame (a short
+        # standing hold): every rally has a random length, and the eager
+        # jax math in convert_amass_sequence / MotionLib.from_motions
+        # otherwise RECOMPILES for each unique T — measured 373 XLA
+        # compiles / 108 s per sequence for 48 distinct lengths. A few
+        # shared buckets cut that to ~4 compiles total.
         T = rot.shape[0]
+        T_pad = ((T + 127) // 128) * 128
+        if T_pad != T:
+            rot = np.concatenate(
+                [rot, np.repeat(rot[-1:], T_pad - T, axis=0)], axis=0)
+            pos = np.concatenate(
+                [pos, np.repeat(pos[-1:], T_pad - T, axis=0)], axis=0)
+        seq = dict(seq, joint_rotmat=rot, joint_pos=pos)
+        T = T_pad
         pose_aa = np.asarray(R.rotmat_to_angle_axis(
             rot.reshape(-1, 3, 3))).reshape(T, 72).astype(np.float32)
         trans = seq["joint_pos"][:, 0] - j0[None].astype(np.float32)

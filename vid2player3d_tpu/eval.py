@@ -195,6 +195,23 @@ def eval_tennis(agent, num_steps: int = 300, per_env: bool = False, ts=None):
         "fh_ratio": float(fh_pe[valid].mean()) if valid.any() else 0.0,
         "reward_mean": float(rec["reward"].mean()),
     }
+    # dual rally: break the pooled stats out PER LANE (even = player A /
+    # near, odd = player B / far — `envs/tennis_dual.py` lane parity). The
+    # two identities run different MVAEs/handedness/π_low, so the artifact
+    # must show they BEHAVE differently (VERDICT r04 next #5); pooled
+    # numbers can't.
+    if getattr(env, "_lane", None) is not None:
+        lane = np.asarray(env._lane)
+        for name, m in (("lane_a", lane == 0), ("lane_b", lane == 1)):
+            v = valid & m
+            report[name] = {
+                "cycles": int(n_cyc[m].sum()),
+                "hit_rate": float(hit_pe[v].mean()) if v.any() else 0.0,
+                "bounce_in_rate": float(in_pe[v].mean()) if v.any() else 0.0,
+                "fh_ratio": float(fh_pe[v].mean()) if v.any() else 0.0,
+                "bounce_pos_error": float(err_pe[m & (n_in > 0)].mean())
+                    if (m & (n_in > 0)).any() else None,
+            }
     if per_env:
         return report, stats_pe
     return report
