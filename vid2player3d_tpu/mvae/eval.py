@@ -119,9 +119,23 @@ def random_walk_metrics(spec: "P.MVAEPlayerSpec", init_feature_raw,
 def report_for_trainer(trainer, num_steps: int = 300, num_envs: int = 8,
                        seed: int = 0) -> Dict[str, float]:
     """Random-walk report for a trained `MVAETrainer`: init conditions come
-    from the trainer's own dataset (the reference harness likewise seeds the
-    rollout from dataset frames, `motion_vae/test.py:16-45`)."""
+    from dataset frames (the reference harness likewise seeds the rollout
+    from dataset frames, `motion_vae/test.py:16-45`). A checkpoint carries
+    its OWN training-set frames (`init_frames.npy`, saved next to
+    latest.npz); those win over `trainer.dataset` — when the CLI rebuilds a
+    trainer for `--test` without `--dataset_dir`, the placeholder synthetic
+    dataset's frames are off-distribution for a decoder trained on real
+    data, and the autoregressive rollout diverges from them."""
+    import os
+
+    import numpy as np
+
     spec = P.spec_from_trainer(trainer)
-    init_raw = trainer.dataset.raw_init_frames(num_envs)
+    init_path = os.path.join(trainer.opt.checkpoint_dir,
+                             trainer.opt.model_ver, "init_frames.npy")
+    if os.path.exists(init_path):
+        init_raw = np.load(init_path)[:num_envs]
+    else:
+        init_raw = trainer.dataset.raw_init_frames(num_envs)
     return random_walk_metrics(spec, init_raw, num_steps=num_steps,
                                seed=seed)
