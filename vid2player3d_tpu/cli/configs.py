@@ -244,7 +244,12 @@ _register(_tennis(
     dataclasses.replace(_STAGE1_ENV,
                         reward_scales=(("pos", 0.5), ("phase", 1.0),
                                        ("bounce_pos", 1.0),
-                                       ("bounce_time", 0.5))),
+                                       ("bounce_time", 0.5)),
+                        # strike-first curriculum: incoming balls land
+                        # within +-1 m of the player's start x, so swing
+                        # timing is learned before court coverage (stage 1
+                        # proper restores the full +-3 m spread)
+                        ball_bounce_x_half=1.0),
     CONFIGS["federer_train_stage_1"].v2p,
 ))
 

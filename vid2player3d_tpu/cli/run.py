@@ -173,6 +173,12 @@ def _build_tennis(run_cfg, args):
 
     seed = args.seed or run_cfg.seed
 
+    # incoming-ball pool honors the config's bounce box (stage-1a narrows
+    # ball_bounce_x_half for the strike-first curriculum)
+    bx = env_cfg.ball_bounce_x_half
+    gen_cfg = None if bx >= 3.0 else {
+        "bounce_min": [-bx, -10.0, 0.0], "bounce_max": [bx, -7.0, 0.0]}
+
     def load_player(name, fallback_key):
         sp, ft = _load_mvae_spec(os.path.join(args.out, f"mvae_{name}"),
                                  name, seed + fallback_key)
@@ -210,7 +216,7 @@ def _build_tennis(run_cfg, args):
         two_handed = ("djokovic", "nadal")
         env = DualTennisEnv(
             env_cfg, (spec, spec_b), (feats, feats_b),
-            ball_generator=TennisBallGenerator(),
+            ball_generator=TennisBallGenerator(gen_cfg),
             pi_low=pi_low, pi_low_params=pi_low_params,
             pi_low_b=pi_low_b, pi_low_params_b=pi_low_params_b,
             two_hand_lanes=(run_cfg.player in two_handed,
@@ -219,7 +225,7 @@ def _build_tennis(run_cfg, args):
         v2p_cfg = dataclasses.replace(v2p_cfg, num_policies=2)
     else:
         env = TennisEnv(env_cfg, spec, feats,
-                        ball_generator=TennisBallGenerator(),
+                        ball_generator=TennisBallGenerator(gen_cfg),
                         pi_low=pi_low, pi_low_params=pi_low_params)
     if mesh is not None:
         env = env.shard(mesh)

@@ -95,6 +95,13 @@ class TennisConfig:
     reset_reaction_nframes: int = 70
     obs_ball_traj_length: int = 10
     use_random_ball_target: str = "continuous"   # "discrete" | "continuous"
+    # incoming-ball bounce box half-width in x (m). 3.0 = the reference's
+    # full serve spread (`tennis_ball.py` bounce box). Stage-1a narrows it
+    # so incoming balls land near the player's start — swing timing and
+    # strike mechanics are learned BEFORE court coverage (single-chip
+    # curriculum aid, annealed back out by stage 1 proper; the reference's
+    # A100-scale training absorbs the full spread by brute force)
+    ball_bounce_x_half: float = 3.0
     # reward
     reward_type: str = "return_w_estimate"       # reach | return | return_w_estimate
     reward_weights: Tuple[Tuple[str, float], ...] = (("pos", 0.1),
