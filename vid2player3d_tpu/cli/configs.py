@@ -253,6 +253,19 @@ _register(_tennis(
     CONFIGS["federer_train_stage_1"].v2p,
 ))
 
+# stage-2 narrow-ball leg: return_w_estimate with the strike-first ball
+# distribution (+-1 m bounce x) — the single-chip bridge between "can
+# strike" (stage 1a) and the full-spread stage 2; warm start stage 1
+_register(_tennis(
+    "federer_train_stage_2a",
+    "Stage-2 warm-up: return_w_estimate reward on the narrow strike-first "
+    "ball distribution (single-chip curriculum aid)",
+    dataclasses.replace(CONFIGS["federer_train_stage_2"].env_tennis,
+                        ball_bounce_x_half=1.0),
+    CONFIGS["federer_train_stage_2"].v2p,
+    warm_start="federer_train_stage_1", discard_pretrained_sigma=True,
+))
+
 # serve practice: the serve-toss ball init + reach reward — exercises the
 # phase-gated toss + overhead strike path (`create_ball_state_for_serve`,
 # humanoid_smpl_im_mvae.py:526-560) from a shipped config
