@@ -261,7 +261,13 @@ _register(_tennis(
     "Stage-2 warm-up: return_w_estimate reward on the narrow strike-first "
     "ball distribution (single-chip curriculum aid)",
     dataclasses.replace(CONFIGS["federer_train_stage_2"].env_tennis,
-                        ball_bounce_x_half=1.0),
+                        ball_bounce_x_half=1.0,
+                        # contact-quality shaping: gradient from graze to
+                        # forward strike (see envs/tennis.py::_reward);
+                        # stage 2 proper drops it back to the reference's
+                        # exact pos/ball_pos weights
+                        reward_weights=(("pos", 0.1), ("ball_pos", 0.6),
+                                        ("quality", 0.3))),
     CONFIGS["federer_train_stage_2"].v2p,
     warm_start="federer_train_stage_1", discard_pretrained_sigma=True,
 ))

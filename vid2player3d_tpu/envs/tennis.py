@@ -947,10 +947,29 @@ class TennisEnv:
 
     # -- rewards (reference :491-601) -------------------------------------------
 
-    def _reward(self, state: TennisState, contact_latched):
+    def _reward(self, state: TennisState, contact_latched,
+                contact_now=None):
         rs, rw = self._rs, self._rw
         phase = state.mvae.phase_pred
         pos_err = jnp.sum((state.ball_pos - state.racket_pos) ** 2, axis=-1)
+
+        # contact-quality shaping (weight "quality", default 0 = reference
+        # semantics): outgoing ball velocity toward the opponent at the
+        # contact step. The est-gated ball_pos reward is a CLIFF — a graze
+        # that deflects the ball backward and a committed forward strike
+        # both read 0 until a return lands in the court. Measured on the
+        # round-5 stage-1 policy: racket speed at contact p50 2 m/s,
+        # outgoing v_y p50 -13 m/s (balls bounce BACKWARD off a
+        # near-static racket); this term gives the gradient from graze ->
+        # forward strike that the reference's real-motion prior provides
+        # for free.
+        if contact_now is not None:
+            quality = jnp.where(contact_now,
+                                jnp.clip(state.ball_vel[:, 1] / 12.0,
+                                         0.0, 1.0), 0.0)
+        else:
+            quality = jnp.zeros_like(pos_err)
+        w_quality = rw.get("quality", 0.0)
 
         def near_reward(contact_phase):
             phase_err = (phase - contact_phase) ** 2
@@ -977,8 +996,9 @@ class TennisEnv:
                 contact_latched, jnp.clip((400.0 - perr) / 400.0, 0.0, 1.0),
                 0.0)
             reward = rw.get("pos", 0.0) * pos_reward + \
-                rw.get("ball_pos", 0.0) * ball_pos_reward
-            subs = jnp.stack([pos_reward, ball_pos_reward], -1)
+                rw.get("ball_pos", 0.0) * ball_pos_reward + \
+                w_quality * quality
+            subs = jnp.stack([pos_reward, ball_pos_reward, quality], -1)
         else:  # return_w_estimate (reference :575-579 uses swing_type_cycle)
             near = near_reward(jnp.where(state.mvae.swing_type_cycle >= 2,
                                          3.0, jnp.pi))
@@ -989,8 +1009,9 @@ class TennisEnv:
                 jnp.exp(-rs.get("bounce_pos", 0.05) * perr) * \
                 jnp.exp(-rs.get("bounce_time", 0.1) * state.est_bounce_time)
             reward = rw.get("pos", 0.0) * pos_reward + \
-                rw.get("ball_pos", 0.0) * ball_pos_reward
-            subs = jnp.stack([pos_reward, ball_pos_reward], -1)
+                rw.get("ball_pos", 0.0) * ball_pos_reward + \
+                w_quality * quality
+            subs = jnp.stack([pos_reward, ball_pos_reward, quality], -1)
         return reward, subs
 
     # -- step --------------------------------------------------------------------
@@ -1143,7 +1164,7 @@ class TennisEnv:
             tar_time=tar_time, progress=progress)
 
         # 9) reward BEFORE task-machine transitions (post_physics_step order)
-        reward, subs = self._reward(new_state, contact)
+        reward, subs = self._reward(new_state, contact, contact_now)
         obs = self._obs(new_state)
 
         # 10) reset / task machine (:408-436)

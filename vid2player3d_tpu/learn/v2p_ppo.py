@@ -414,6 +414,8 @@ class V2PPPO:
         metrics["pos_reward"] = subs[0]
         if subs.shape[-1] > 1:
             metrics["ball_pos_reward"] = subs[1]
+        if subs.shape[-1] > 2:
+            metrics["quality_reward"] = subs[2]
         metrics["lr"] = lr
         # behavioral instrumentation: answer "is it swinging / hitting /
         # landing in?" from the committed curves alone (reference stats
