@@ -76,7 +76,9 @@ def test_reaction_reset_recycles_ball(env):
 
 def test_rewards_modes_shapes(env):
     state, _ = env.reset_all(jax.random.PRNGKey(5))
-    for mode, nsub in [("reach", 1), ("return", 2), ("return_w_estimate", 2)]:
+    # return modes carry [pos, ball_pos, quality] sub-rewards (quality =
+    # outgoing-strike shaping, weight 0 unless configured)
+    for mode, nsub in [("reach", 1), ("return", 3), ("return_w_estimate", 3)]:
         env2 = TennisEnv.__new__(TennisEnv)
         env2.__dict__.update(env.__dict__)
         env2.cfg = dataclasses.replace(env.cfg, reward_type=mode)
