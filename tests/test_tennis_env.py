@@ -76,9 +76,9 @@ def test_reaction_reset_recycles_ball(env):
 
 def test_rewards_modes_shapes(env):
     state, _ = env.reset_all(jax.random.PRNGKey(5))
-    # return modes carry [pos, ball_pos, quality] sub-rewards (quality =
-    # outgoing-strike shaping, weight 0 unless configured)
-    for mode, nsub in [("reach", 1), ("return", 3), ("return_w_estimate", 3)]:
+    # return modes carry [pos, ball_pos, quality, swing_speed]
+    # sub-rewards (shaping terms, weight 0 unless configured)
+    for mode, nsub in [("reach", 1), ("return", 4), ("return_w_estimate", 4)]:
         env2 = TennisEnv.__new__(TennisEnv)
         env2.__dict__.update(env.__dict__)
         env2.cfg = dataclasses.replace(env.cfg, reward_type=mode)

@@ -272,6 +272,21 @@ _register(_tennis(
     warm_start="federer_train_stage_1", discard_pretrained_sigma=True,
 ))
 
+# stage-2b: adds dense swing-speed shaping (racket head speed while the
+# ball is within reach) on top of stage-2a — targets the measured timing
+# failure (racket 2 m/s at contact)
+_register(_tennis(
+    "federer_train_stage_2b",
+    "Stage-2 narrow + swing-speed shaping: racket head speed near the "
+    "ball (single-chip curriculum aid)",
+    dataclasses.replace(CONFIGS["federer_train_stage_2a"].env_tennis,
+                        reward_weights=(("pos", 0.1), ("ball_pos", 0.5),
+                                        ("quality", 0.2),
+                                        ("swing_speed", 0.2))),
+    CONFIGS["federer_train_stage_2"].v2p,
+    warm_start="federer_train_stage_1", discard_pretrained_sigma=True,
+))
+
 # serve practice: the serve-toss ball init + reach reward — exercises the
 # phase-gated toss + overhead strike path (`create_ball_state_for_serve`,
 # humanoid_smpl_im_mvae.py:526-560) from a shipped config

@@ -416,6 +416,8 @@ class V2PPPO:
             metrics["ball_pos_reward"] = subs[1]
         if subs.shape[-1] > 2:
             metrics["quality_reward"] = subs[2]
+        if subs.shape[-1] > 3:
+            metrics["swing_speed_reward"] = subs[3]
         metrics["lr"] = lr
         # behavioral instrumentation: answer "is it swinging / hitting /
         # landing in?" from the committed curves alone (reference stats
