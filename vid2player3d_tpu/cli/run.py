@@ -84,6 +84,8 @@ class MetricsLogger:
         self._f = open(self.path, "a")
         self.t0 = time.time()
         self.max_epochs = max_epochs
+        self._ema_dt = None     # per-epoch pace, compile epoch excluded
+        self._last_wall = 0.0
 
     def log(self, epoch: int, metrics: dict, env_steps: int) -> None:
         row = {"epoch": epoch,
@@ -91,8 +93,16 @@ class MetricsLogger:
                "wall_s": round(time.time() - self.t0, 2)}
         self._f.write(json.dumps(row) + "\n")
         self._f.flush()
-        dt = row["wall_s"] / max(epoch, 1)
-        fps = env_steps * epoch / max(row["wall_s"], 1e-6)
+        # fps/ETA from recent per-epoch deltas (EMA), not the cumulative
+        # mean — the first epoch carries the multi-minute XLA compile and
+        # otherwise skews the console numbers ~10x for hundreds of epochs
+        dt_step = row["wall_s"] - self._last_wall
+        self._last_wall = row["wall_s"]
+        if epoch > 1:
+            self._ema_dt = dt_step if self._ema_dt is None \
+                else 0.9 * self._ema_dt + 0.1 * dt_step
+        dt = self._ema_dt if self._ema_dt is not None else dt_step
+        fps = env_steps / max(dt, 1e-6)
         eta = dt * (self.max_epochs - epoch)
         print(f"epoch {epoch}/{self.max_epochs} "
               f"reward {row.get('reward_mean', float('nan')):.4f} "
