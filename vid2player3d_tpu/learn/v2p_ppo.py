@@ -266,8 +266,14 @@ class V2PPPO:
             obs_next = dr.randomize_obs(k_n, out.obs, dr_step) \
                 if dr is not None and dr.obs_specs else out.obs
 
+            # reward sanitized at collection: the env's divergence latch
+            # zeroes obs and terminates a blown-up env, but its LAST
+            # reward can still be non-finite; one NaN here would ride
+            # through GAE into every advantage and force the grad guard to
+            # skip whole mini-epochs
+            reward = jnp.where(jnp.isfinite(out.reward), out.reward, 0.0)
             store = dict(obs=obs, action=action, mu=mu, neglogp=neglogp,
-                         value=value, reward=out.reward,
+                         value=value, reward=reward,
                          done=out.done.astype(jnp.float32),
                          terminate=out.terminate.astype(jnp.float32),
                          sub_rewards=out.sub_rewards,
@@ -380,9 +386,27 @@ class V2PPPO:
                 mb = {k2: take(v) for k2, v in batch_all.items()}
                 (loss, stats), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(params, mb)
-                updates, opt_state = self.tx.update(grads, opt_state, params)
-                updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
-                params = optax.apply_updates(params, updates)
+                # learner-side divergence guard: a single non-finite
+                # gradient (blown-up sim state slipping through before the
+                # env latch terminates it) would otherwise poison
+                # params/moments FOREVER — observed in a round-5 chip run
+                # that NaN'd at epoch 948 and kept "training" for 152
+                # epochs. Skip the update (params+opt_state unchanged)
+                # when any grad leaf is non-finite.
+                ok = jnp.all(jnp.stack([
+                    jnp.all(jnp.isfinite(g))
+                    for g in jax.tree_util.tree_leaves(grads)]))
+                up, new_opt = self.tx.update(
+                    jax.tree_util.tree_map(
+                        lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads),
+                    opt_state, params)
+                up = jax.tree_util.tree_map(lambda u: -lr * u, up)
+                new_params = optax.apply_updates(params, up)
+                pick = lambda new, old: jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(ok, a, b), new, old)
+                params = pick(new_params, params)
+                opt_state = pick(new_opt, opt_state)
+                stats = dict(stats, grad_skip=(~ok).astype(jnp.float32))
                 if cfg.lr_schedule == "adaptive":
                     kl = stats["kl"]
                     lr = jnp.where(kl > 2.0 * cfg.kl_threshold,
