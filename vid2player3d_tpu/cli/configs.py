@@ -272,6 +272,22 @@ _register(_tennis(
     warm_start="federer_train_stage_1", discard_pretrained_sigma=True,
 ))
 
+# stage-2c: stage-2a with the WIDE near-reward basins (pos 0.5, phase
+# 1.0 — the stage-1a scales): the sharp default basins give ~zero
+# pre-contact shaping for swing timing; the wide ones are where stage-1
+# learning actually happened on one chip
+_register(_tennis(
+    "federer_train_stage_2c",
+    "Stage-2 narrow + wide reach basins + quality shaping "
+    "(single-chip curriculum aid)",
+    dataclasses.replace(CONFIGS["federer_train_stage_2a"].env_tennis,
+                        reward_scales=(("pos", 0.5), ("phase", 1.0),
+                                       ("bounce_pos", 1.0),
+                                       ("bounce_time", 0.5))),
+    CONFIGS["federer_train_stage_2"].v2p,
+    warm_start="federer_train_stage_1", discard_pretrained_sigma=True,
+))
+
 # stage-2b: adds dense swing-speed shaping (racket head speed while the
 # ball is within reach) on top of stage-2a — targets the measured timing
 # failure (racket 2 m/s at contact)
