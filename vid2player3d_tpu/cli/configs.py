@@ -290,7 +290,11 @@ _register(_tennis(
 
 # stage-2b: adds dense swing-speed shaping (racket head speed while the
 # ball is within reach) on top of stage-2a — targets the measured timing
-# failure (racket 2 m/s at contact)
+# failure (racket 2 m/s at contact). MEASURED NEGATIVE on the chip
+# (1200-epoch run, round 5): the policy farms the speed term
+# (swing_speed_reward +45%) while hit_rate drifts 0.052->0.037 and no
+# strike quality emerges; kept as a documented experiment, not a
+# recommended stage
 _register(_tennis(
     "federer_train_stage_2b",
     "Stage-2 narrow + swing-speed shaping: racket head speed near the "
