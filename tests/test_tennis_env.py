@@ -123,3 +123,75 @@ def test_candidate_pool_reset_matches_semantics(env):
     # distinct candidates land on distinct done envs
     assert not np.allclose(np.asarray(out.ball_pos[0]),
                            np.asarray(out.ball_pos[2]))
+
+
+def test_sync_launch_gate(env):
+    """Phase-synchronized launch (cfg.sync_launch): the recovery->reaction
+    trigger holds until ball arrival (pool's measured flight) coincides with
+    the contact phase pi at the rig's prior rate, with a bounded forced
+    launch. Default-off path keeps the reference's exact `==` timing
+    (physics_mvae_controller.py:216-231)."""
+    import copy
+    import dataclasses as dc
+
+    env_s = copy.copy(env)
+    env_s.cfg = dc.replace(env.cfg, sync_launch=True, sync_max_wait=30)
+    # auto flight measurement from this pool
+    pool_y = np.asarray(env.gen.traj_pool[..., 1])
+    crossed = pool_y < -11.5
+    has = crossed.any(axis=1)
+    expect = float(np.argmax(crossed, axis=1)[has].mean())
+    env_s._sync_flight = expect
+    assert expect > 0.0
+
+    state, _ = env_s.reset_all(jax.random.PRNGKey(3))
+    cfg = env_s.cfg
+    ttt = state.tar_time_total
+    two_pi = 2.0 * np.pi
+
+    # phase exactly flight*rate short of contact -> gate open once timed
+    aligned = float(np.mod(np.pi - cfg.sync_phase_rate * expect, two_pi))
+    st_a = dc.replace(state, mvae=dc.replace(
+        state.mvae, phase_pred=jnp.full((4,), aligned)))
+    trig = np.asarray(env_s._reaction_trigger(st_a, ttt, None))
+    assert trig.all()
+    # ...but never before the timed window opens
+    early = np.asarray(env_s._reaction_trigger(st_a, ttt - 5, None))
+    assert not early.any()
+
+    # half a cycle out of phase -> held (68 frames off >> tol 6)...
+    bad = float(np.mod(aligned + np.pi, two_pi))
+    st_b = dc.replace(state, mvae=dc.replace(
+        state.mvae, phase_pred=jnp.full((4,), bad)))
+    held = np.asarray(env_s._reaction_trigger(st_b, ttt, None))
+    assert not held.any()
+    # ...until the forced launch bounds the wait
+    forced = np.asarray(env_s._reaction_trigger(
+        st_b, ttt + cfg.sync_max_wait, None))
+    assert forced.all()
+
+    # default-off: exact one-shot equality semantics, phase-independent
+    off = np.asarray(env._reaction_trigger(st_b, ttt, None))
+    assert off.all()
+    off_late = np.asarray(env._reaction_trigger(st_b, ttt + 1, None))
+    assert not off_late.any()
+
+
+def test_sync_launch_env_constructs_and_steps():
+    """A sync-enabled env auto-measures the pool flight at construction and
+    steps finitely end to end."""
+    key = jax.random.PRNGKey(0)
+    spec = P.make_random_spec(key, hidden=32, experts=2)
+    rng = np.random.default_rng(0)
+    feats = (rng.standard_normal((8, P.FRAME_SIZE)) * 0.05).astype(np.float32)
+    feats[:, 2] = 0.95
+    cfg = TennisConfig(num_envs=2, substeps=2, max_episode_length=40,
+                       reset_reaction_nframes=10, sync_launch=True)
+    gen = TennisBallGenerator(num_candidates=64, seed=0)
+    env = TennisEnv(cfg, spec, feats, ball_generator=gen)
+    assert 0.0 < env._sync_flight < gen.traj_length
+    state, obs = env.reset_all(jax.random.PRNGKey(1))
+    step = jax.jit(env.step)
+    for _ in range(3):
+        state, out = step(state, jnp.zeros((2, env.num_actions)))
+    assert np.isfinite(np.asarray(out.obs)).all()

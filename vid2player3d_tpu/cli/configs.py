@@ -288,6 +288,31 @@ _register(_tennis(
     warm_start="federer_train_stage_1", discard_pretrained_sigma=True,
 ))
 
+# stage-1/2 sync legs: phase-synchronized ball launch (envs/tennis.py::
+# TennisConfig.sync_launch) — the env holds each launch until the swing
+# phase, extrapolated over the pool's measured flight, meets the ball at
+# contact phase pi. Directly targets the measured round-4/5 failure mode
+# (policies strike at 2 m/s because random launch phase makes the 0.15 s
+# fast swing window miss ball arrival); anneal out by warm-starting the
+# un-synced stage afterwards
+_register(_tennis(
+    "federer_train_stage_1sync",
+    "Stage-1a + phase-synchronized launches (single-chip curriculum aid; "
+    "anneal via federer_train_stage_1)",
+    dataclasses.replace(CONFIGS["federer_train_stage_1a"].env_tennis,
+                        sync_launch=True),
+    CONFIGS["federer_train_stage_1"].v2p,
+))
+_register(_tennis(
+    "federer_train_stage_2sync",
+    "Stage-2a + phase-synchronized launches (single-chip curriculum aid; "
+    "anneal via federer_train_stage_2)",
+    dataclasses.replace(CONFIGS["federer_train_stage_2a"].env_tennis,
+                        sync_launch=True),
+    CONFIGS["federer_train_stage_2"].v2p,
+    warm_start="federer_train_stage_1sync", discard_pretrained_sigma=True,
+))
+
 # stage-2b: adds dense swing-speed shaping (racket head speed while the
 # ball is within reach) on top of stage-2a — targets the measured timing
 # failure (racket 2 m/s at contact). MEASURED NEGATIVE on the chip

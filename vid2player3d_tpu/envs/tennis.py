@@ -93,6 +93,26 @@ class TennisConfig:
     ball_body_contact: bool = False
     # task machine
     reset_reaction_nframes: int = 70
+    # phase-synchronized launch (single-chip curriculum aid, round 5): hold
+    # the recovery->reaction transition until the swing phase, extrapolated
+    # over the pool's mean launch->strike-zone flight, lands on the contact
+    # phase pi — so a policy that simply rides the motion prior meets the
+    # ball in its fast swing window instead of having to *discover* timing
+    # by latent exploration (the rate-limiting step of rounds 4-5: policies
+    # plateaued striking at 2 m/s because random phase offsets make the
+    # 0.15 s fast phase miss ball arrival ~24x more often than not). The
+    # rig's phase convention (mvae/dataset.py:18-19): phase 0 = opponent
+    # hit, pi = my contact, rate pi/n_in with n_in in 58..78 frames
+    # (data/tennis_motion.py::sample_cycles). The gate launches when
+    # |frames-to-contact-phase - flight_frames| <= tol; a forced launch at
+    # +sync_max_wait frames bounds the hold so training never deadlocks.
+    # Off by default: exact reference timing semantics
+    # (physics_mvae_controller.py:216-231) are the shipped behavior.
+    sync_launch: bool = False
+    sync_phase_rate: float = float(np.pi) / 68.0   # rad/frame, rig prior
+    sync_flight_frames: float = -1.0   # <0 = auto-measure from the pool
+    sync_tol_frames: float = 6.0
+    sync_max_wait: int = 90
     obs_ball_traj_length: int = 10
     use_random_ball_target: str = "continuous"   # "discrete" | "continuous"
     # incoming-ball bounce box half-width in x (m). 3.0 = the reference's
@@ -273,6 +293,19 @@ class TennisEnv:
         self.gen = ball_generator or B.TennisBallGenerator(
             {"ball_traj_length": cfg.ball_traj_pool_len},
             num_candidates=2048)
+        # phase-synchronized launch: mean frames from launch until the pool
+        # trajectory first enters the strike corridor (y < -11.5, the rig's
+        # contact band, data/tennis_motion.py::sample_cycles cy range) —
+        # measured from THIS pool so the gate tracks whatever ball
+        # distribution the config selected
+        self._sync_flight = float(cfg.sync_flight_frames)
+        if cfg.sync_launch and self._sync_flight < 0.0:
+            pool_y = np.asarray(self.gen.traj_pool[..., 1])
+            crossed = pool_y < -11.5
+            has = crossed.any(axis=1)
+            first = np.argmax(crossed, axis=1)
+            self._sync_flight = float(first[has].mean()) if has.any() \
+                else float(cfg.reset_reaction_nframes)
         self.pi_low = pi_low
         self.pi_low_params = pi_low_params
         self.pi_low_b = pi_low_b
@@ -639,8 +672,26 @@ class TennisEnv:
                           contact_now) -> jnp.ndarray:
         """When does a recovery env flip back to reaction? Single-player: the
         timed window `tar_time == tar_time_total` (reference
-        `physics_mvae_controller.py:216-231`). Dual: the opponent's hit."""
-        return tar_time == state.tar_time_total
+        `physics_mvae_controller.py:216-231`). Dual: the opponent's hit.
+
+        With `cfg.sync_launch` the timed window additionally holds until the
+        launch is phase-synchronized: frames until the swing phase reaches
+        the contact phase pi (at the rig's prior rate) must match the pool's
+        measured launch->strike-zone flight within `sync_tol_frames`, so the
+        ball arrives during the fast swing window. A forced launch at
+        `tar_time_total + sync_max_wait` bounds the hold."""
+        cfg = self.cfg
+        if not cfg.sync_launch:
+            return tar_time == state.tar_time_total
+        two_pi = 2.0 * jnp.pi
+        # frames until phase_pred next reaches the contact phase pi
+        delta = jnp.mod(jnp.pi - state.mvae.phase_pred, two_pi)
+        frames_to_contact = delta / cfg.sync_phase_rate
+        gate = jnp.abs(frames_to_contact - self._sync_flight) \
+            <= cfg.sync_tol_frames
+        timed = tar_time >= state.tar_time_total
+        forced = tar_time >= state.tar_time_total + cfg.sync_max_wait
+        return (timed & gate) | forced
 
     def _reaction_ball(self, state: TennisState, key, ball_state13,
                        reaction_mask):
